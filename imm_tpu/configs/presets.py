@@ -1,0 +1,120 @@
+"""The experiment presets — one per driver config (BASELINE.json "configs").
+
+1. celeba_k10   — IMM 10-landmark face model on CelebA, MAFL regression eval
+2. aflw_k30     — 30-landmark face model on AFLW (TPS pair augmentation)
+3. cats_k20     — cat-heads, 20 landmarks (non-face category)
+4. human36m     — body landmarks from video frame pairs (temporal sampling)
+5. swap         — landmark-conditioned generation / pose-swap inference
+plus 'synthetic' — the offline blob-face harness (train + eval end-to-end
+with no files), and tiny CPU variants for smoke tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from imm_tpu.data.pairs import PairConfig
+from imm_tpu.losses.perceptual import PerceptualLossConfig
+from imm_tpu.models.imm import IMMConfig
+from imm_tpu.train.state import TrainConfig
+from imm_tpu.utils.config import DataConfig, ExperimentConfig
+
+_FACE_PAIR = PairConfig(
+    rotsd=(5.0, 2.5),
+    scalesd=(0.05, 0.025),
+    transsd=(0.05, 0.05),
+    warpsd=(0.001, 0.01),
+)
+
+_TPU_TRAIN = TrainConfig(
+    batch_size=64,
+    learning_rate=1e-3,
+    lr_boundaries=(150_000, 250_000),
+    lr_factors=(1.0, 0.1, 0.01),
+    total_steps=300_000,
+    steps_per_call=20,
+)
+
+PRESETS: dict[str, ExperimentConfig] = {
+    "synthetic": ExperimentConfig(
+        name="synthetic",
+        model=IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16"),
+        train=dataclasses.replace(_TPU_TRAIN, total_steps=2_000),
+        pair=_FACE_PAIR,
+        loss=PerceptualLossConfig(),
+        data=DataConfig(source="synthetic", pair_mode="tps"),
+        eval_every=500,
+    ),
+    "celeba_k10": ExperimentConfig(
+        name="celeba_k10",
+        model=IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16"),
+        train=_TPU_TRAIN,
+        pair=_FACE_PAIR,
+        loss=PerceptualLossConfig(),
+        data=DataConfig(source="celeba", pair_mode="tps", eval_norm="iod"),
+        eval_every=10_000,
+    ),
+    "aflw_k30": ExperimentConfig(
+        name="aflw_k30",
+        model=IMMConfig(n_landmarks=30, image_size=128, compute_dtype="bfloat16"),
+        train=_TPU_TRAIN,
+        pair=_FACE_PAIR,
+        loss=PerceptualLossConfig(),
+        data=DataConfig(source="aflw", pair_mode="tps", eval_norm="iod"),
+        eval_every=10_000,
+    ),
+    "cats_k20": ExperimentConfig(
+        name="cats_k20",
+        model=IMMConfig(n_landmarks=20, image_size=128, compute_dtype="bfloat16"),
+        train=_TPU_TRAIN,
+        pair=dataclasses.replace(_FACE_PAIR, rotsd=(10.0, 5.0)),
+        loss=PerceptualLossConfig(),
+        data=DataConfig(source="cats", pair_mode="tps", eval_norm="iod"),
+        eval_every=10_000,
+    ),
+    "human36m": ExperimentConfig(
+        name="human36m",
+        model=IMMConfig(n_landmarks=16, image_size=128, compute_dtype="bfloat16"),
+        train=_TPU_TRAIN,
+        pair=PairConfig(enable_warp=False),  # temporal pairs, jitter only
+        loss=PerceptualLossConfig(),
+        data=DataConfig(source="human36m", pair_mode="temporal", eval_norm="size"),
+        eval_every=10_000,
+    ),
+    # Config 5 is inference-only: any trained face model serves; kept as a
+    # preset so `generate.py --preset swap` has sensible defaults.
+    "swap": ExperimentConfig(
+        name="swap",
+        model=IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16"),
+        train=_TPU_TRAIN,
+        pair=_FACE_PAIR,
+        loss=PerceptualLossConfig(),
+        data=DataConfig(source="celeba", pair_mode="tps"),
+    ),
+    # CPU-smoke variant: "single-batch CPU train+eval" (driver config 1 note)
+    "tiny_cpu": ExperimentConfig(
+        name="tiny_cpu",
+        model=IMMConfig(
+            n_landmarks=5,
+            image_size=32,
+            filters=(8, 8, 16, 16),
+            strides=(1, 2, 1, 2),
+            decoder_filters=(16, 8, 8),
+        ),
+        train=TrainConfig(
+            batch_size=8, total_steps=50, lr_boundaries=(), lr_factors=(1.0,),
+            steps_per_call=1,
+        ),
+        pair=_FACE_PAIR,
+        loss=PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1)),
+        data=DataConfig(source="synthetic"),
+        eval_every=0,
+        eval_samples=64,
+    ),
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; options: {sorted(PRESETS)}")
+    return PRESETS[name]

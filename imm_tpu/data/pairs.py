@@ -1,0 +1,94 @@
+"""Deformation-pair synthesis, on device.
+
+Reference behavior (tomasjakab/imm — mount empty at build time, SURVEY.md
+§3.3): per element inside ``tf.data``, duplicate the decoded frame, push both
+copies through ``TPSRandomSampler`` (a shared warp component plus an
+individual component per copy), then color-jitter the source only. Video
+datasets (H36M) instead take two temporally separated frames and skip TPS.
+
+Here the whole synthesis is a single jitted batched program: two grid builds
+(static-basis matmuls) + two bilinear resamples + one fused jitter pass, all
+in HBM/VMEM — the host never touches the pair. ``PairConfig`` carries the
+reference's ``(shared, individual)`` two-element parameter convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from imm_tpu.ops.image import color_jitter
+from imm_tpu.ops.tps import combine_params, sample_tps_params, warp_image
+
+
+@dataclasses.dataclass(frozen=True, unsafe_hash=True)
+class PairConfig:
+    """(shared, individual) warp noise levels, reference-style."""
+
+    rotsd: tuple[float, float] = (5.0, 2.5)  # degrees
+    scalesd: tuple[float, float] = (0.05, 0.025)  # log-scale sd
+    transsd: tuple[float, float] = (0.05, 0.05)  # normalized units
+    warpsd: tuple[float, float] = (0.001, 0.01)  # control-point sd
+    n_grid: int = 4
+    jitter_brightness: float = 0.2
+    jitter_contrast: float = 0.3
+    jitter_channel: float = 0.15
+    enable_warp: bool = True  # False for video (temporal) pairs
+    enable_jitter: bool = True
+
+
+class PairSynthesizer:
+    """Batched (source, target) pair synthesis. Pure; safe inside jit."""
+
+    def __init__(self, config: PairConfig = PairConfig()):
+        self.config = config
+
+    def __call__(
+        self, rng: jax.Array, images: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """images ``(B, H, W, C)`` -> (source, target), same shape.
+
+        Static datasets: both outputs are warps of the input frame sharing a
+        common component. Video datasets: call ``temporal_pair`` instead.
+        """
+        c = self.config
+        b = images.shape[0]
+        k_shared, k_src, k_tgt, k_jit = jax.random.split(rng, 4)
+        if c.enable_warp:
+            shared = sample_tps_params(
+                k_shared, b, c.rotsd[0], c.scalesd[0], c.transsd[0], c.warpsd[0],
+                c.n_grid, images.dtype,
+            )
+            ind_s = sample_tps_params(
+                k_src, b, c.rotsd[1], c.scalesd[1], c.transsd[1], c.warpsd[1],
+                c.n_grid, images.dtype,
+            )
+            ind_t = sample_tps_params(
+                k_tgt, b, c.rotsd[1], c.scalesd[1], c.transsd[1], c.warpsd[1],
+                c.n_grid, images.dtype,
+            )
+            source = warp_image(images, combine_params(shared, ind_s), n_grid=c.n_grid)
+            target = warp_image(images, combine_params(shared, ind_t), n_grid=c.n_grid)
+        else:
+            source, target = images, images
+        if c.enable_jitter:
+            source = color_jitter(
+                k_jit, source, c.jitter_brightness, c.jitter_contrast,
+                c.jitter_channel,
+            )
+        return source, target
+
+    def temporal_pair(
+        self, rng: jax.Array, frame_a: jnp.ndarray, frame_b: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Video path: two real frames; jitter the source only (no TPS)."""
+        c = self.config
+        source = frame_a
+        if c.enable_jitter:
+            source = color_jitter(
+                rng, source, c.jitter_brightness, c.jitter_contrast,
+                c.jitter_channel,
+            )
+        return source, frame_b

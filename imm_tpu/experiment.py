@@ -1,0 +1,205 @@
+"""Experiment wiring: ExperimentConfig -> model/loss/data/step/trainer.
+
+The one place that knows how the pieces compose (the reference's
+``scripts/train.py`` body, SURVEY.md §3.1, minus the tower plumbing). Used by
+the CLI entry points, ``bench.py`` and ``__graft_entry__.py``.
+
+Device placement: the experiment takes a ``Mesh`` (default: all visible
+devices on a 1-D 'data' axis). State is replicated, batches are sharded on
+the batch axis, and for the on-device synthetic source the *generator itself*
+is jitted with a sharded output layout so sample synthesis is partitioned
+across the slice instead of replicated-then-scattered.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Iterator
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imm_tpu.data import PairSynthesizer, SyntheticBlobFaces, get_dataset
+from imm_tpu.losses.perceptual import ReconstructionLoss
+from imm_tpu.parallel import batch_sharding, make_mesh, replicate
+from imm_tpu.train.loop import Trainer, TrainerOptions
+from imm_tpu.train.state import TrainState, create_train_state
+from imm_tpu.train.steps import (
+    make_eval_coords_fn,
+    make_train_step,
+)
+from imm_tpu.utils.config import ExperimentConfig
+
+
+def _stack_batches(it: Iterator[dict], n: int) -> Iterator[dict]:
+    """Group n host batches into one (n, B, ...) super-batch for lax.scan."""
+    while True:
+        group = [next(it) for _ in range(n)]
+        yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+
+
+@dataclasses.dataclass
+class Experiment:
+    config: ExperimentConfig
+    mesh: Any
+    model: Any
+    state: TrainState
+    loss_fn: ReconstructionLoss
+    step_fn: Any  # (state, batch, rng) -> (state, metrics)
+    batches: Iterator[dict] | None
+    eval_fn: Any  # (state) -> dict[str, float] | None
+    trainer: Trainer
+
+    def run(self) -> TrainState:
+        self.trainer.restore_or_init()
+        self.state = self.trainer.run()
+        return self.state
+
+
+def build_experiment(
+    config: ExperimentConfig,
+    mesh=None,
+    total_steps: int | None = None,
+    restore: bool = True,
+) -> Experiment:
+    if mesh is None:
+        mesh = make_mesh()
+    loss_fn = ReconstructionLoss(config.loss)
+    model, state = create_train_state(
+        jax.random.PRNGKey(config.train.seed), config.model, config.train,
+        loss_fn.n_terms,
+    )
+    state = replicate(state, mesh)
+    pair = PairSynthesizer(config.pair)
+    scan = config.train.steps_per_call
+    batch = config.train.batch_size
+    steps = total_steps if total_steps is not None else config.train.total_steps
+
+    pair_mode = config.data.pair_mode
+    step_fn = make_train_step(
+        model, loss_fn, config.train, pair, pair_mode, scan_steps=scan
+    )
+    b_shard = batch_sharding(mesh)
+
+    eval_builder = None
+    if config.data.source == "synthetic":
+        faces = SyntheticBlobFaces(image_size=config.model.image_size)
+
+        # On-device generation, output sharded over the mesh: one jitted
+        # program produces the (scan, B, ...) super-batch already laid out
+        # for the data-parallel step — zero host bytes per step.
+        if pair_mode == "tps":
+
+            def gen(rng):
+                ks = jax.random.split(rng, scan)
+                return {
+                    "image": jnp.stack(
+                        [faces.sample(k, batch)["image"] for k in ks]
+                    ) if scan > 1 else faces.sample(ks[0], batch)["image"]
+                }
+        else:
+
+            def gen(rng):
+                ks = jax.random.split(rng, scan)
+                outs = [faces.sample_pair(k, batch) for k in ks]
+                stack = (lambda key: jnp.stack([o[key] for o in outs])
+                         if scan > 1 else outs[0][key])
+                return {"image_a": stack("image_a"), "image_b": stack("image_b")}
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = ("scan", "data") if scan > 1 else ("data",)
+        out_spec = NamedSharding(
+            mesh, P(*(None,) * (len(axes) - 1), "data")
+        )
+        gen_jit = jax.jit(gen, out_shardings=out_spec)
+
+        class _DeviceBatches:
+            def __init__(self, seed):
+                self.rng = jax.random.PRNGKey(seed ^ 0x5EED)
+
+            def __iter__(self):
+                return self
+
+            def __next__(self):
+                self.rng, k = jax.random.split(self.rng)
+                return gen_jit(k)
+
+        batches = _DeviceBatches(config.train.seed)
+
+        def eval_builder():
+            n = config.eval_samples
+            sample = jax.jit(lambda r: faces.sample(r, n))
+            train_split = jax.device_get(sample(jax.random.PRNGKey(91)))
+            test_split = jax.device_get(sample(jax.random.PRNGKey(92)))
+            return train_split, test_split
+
+    else:
+        dataset = get_dataset(
+            config.data.source,
+            config.data.root,
+            image_size=config.model.image_size,
+            n_landmarks=config.model.n_landmarks,
+        )
+        if pair_mode == "temporal":
+            raw = dataset.train_pair_batches(batch, seed=config.train.seed)
+        else:
+            raw = dataset.train_batches(batch, seed=config.train.seed)
+        host_it = _stack_batches(raw, scan) if scan > 1 else raw
+
+        class _HostBatches:
+            def __iter__(self):
+                return self
+
+            def __next__(self):
+                b = next(host_it)
+                return jax.tree.map(
+                    lambda x: jax.device_put(jnp.asarray(x), b_shard), b
+                )
+
+        batches = _HostBatches()
+
+        def eval_builder():
+            return dataset.eval_arrays("train"), dataset.eval_arrays("test")
+
+    coords_fn = make_eval_coords_fn(model)
+
+    def eval_fn(state):
+        from imm_tpu.eval import evaluate_landmarks
+
+        train_split, test_split = eval_builder()
+        return evaluate_landmarks(
+            coords_fn,
+            state.params,
+            state.batch_stats,
+            train_split,
+            test_split,
+            norm=config.data.eval_norm,
+            iod_points=config.data.iod_points,
+        )
+
+    trainer = Trainer(
+        step_fn,
+        state,
+        total_steps=steps,
+        batch_size=batch,
+        steps_per_call=scan,
+        batches=batches,
+        options=TrainerOptions(workdir=config.workdir or None),
+        seed=config.train.seed,
+        eval_fn=eval_fn if config.eval_every else None,
+        eval_every=config.eval_every,
+    )
+    return Experiment(
+        config=config,
+        mesh=mesh,
+        model=model,
+        state=state,
+        loss_fn=loss_fn,
+        step_fn=step_fn,
+        batches=batches,
+        eval_fn=eval_fn,
+        trainer=trainer,
+    )

@@ -1,0 +1,98 @@
+"""Train state: parameters, optimizer, BN statistics, loss-balancing EMA.
+
+Replaces the reference's ``tf.train.Saver``-era session state (SURVEY.md §5)
+with an explicit immutable pytree — the unit of jit/donation/checkpointing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from imm_tpu.models.imm import IMM, IMMConfig
+
+
+@dataclasses.dataclass(frozen=True, unsafe_hash=True)
+class TrainConfig:
+    """Optimization hyperparameters (the reference's training YAML keys)."""
+
+    batch_size: int = 64
+    learning_rate: float = 1e-3
+    # Piecewise-constant decay, reference-style: lr * factor after boundary.
+    lr_boundaries: tuple[int, ...] = (200_000, 300_000)
+    lr_factors: tuple[float, ...] = (1.0, 0.1, 0.01)
+    optimizer: str = "adam"  # 'adam' | 'sgd' (sgd mostly for exactness tests)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    grad_clip: float = 0.0  # 0 disables
+    weight_decay: float = 0.0
+    total_steps: int = 300_000
+    seed: int = 0
+    # Dispatch amortization: run this many optimizer steps per jitted call
+    # (lax.scan). >1 requires an on-device data source or stacked batches.
+    steps_per_call: int = 1
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    loss_ema: jnp.ndarray  # per-term loss scale EMA (losses/perceptual.py)
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    sched = optax.piecewise_constant_schedule(
+        config.learning_rate,
+        {
+            int(b): config.lr_factors[i + 1] / config.lr_factors[i]
+            for i, b in enumerate(config.lr_boundaries)
+        },
+    )
+    parts = []
+    if config.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(config.grad_clip))
+    if config.optimizer == "sgd":
+        parts.append(optax.sgd(sched))
+    elif config.weight_decay > 0:
+        parts.append(
+            optax.adamw(
+                sched, b1=config.adam_b1, b2=config.adam_b2,
+                weight_decay=config.weight_decay,
+            )
+        )
+    else:
+        parts.append(optax.adam(sched, b1=config.adam_b1, b2=config.adam_b2))
+    return optax.chain(*parts)
+
+
+def create_train_state(
+    rng: jax.Array,
+    model_config: IMMConfig,
+    train_config: TrainConfig,
+    n_loss_terms: int,
+) -> tuple[IMM, TrainState]:
+    """Initialize model variables + optimizer into a fresh TrainState."""
+    model = IMM(model_config)
+    s = model_config.image_size
+    dummy = jnp.zeros((1, s, s, 3), jnp.float32)
+    # jit the init: one compiled program instead of hundreds of eager ops
+    # (each eager dispatch costs ~30 ms through the axon-tunneled chip).
+    variables = jax.jit(lambda r: model.init(r, dummy, dummy, train=True))(rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    optimizer = make_optimizer(train_config)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        loss_ema=jnp.ones((n_loss_terms,), jnp.float32),
+    )
+    return model, state

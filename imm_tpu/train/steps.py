@@ -1,0 +1,172 @@
+"""Jitted train/eval step builders.
+
+Replaces the reference's tower trainer (SURVEY.md §3.1: per-GPU model builds,
+``average_gradients``, a host-side ``sess.run`` loop) with a single pure
+``(state, batch, rng) -> (state, metrics)`` function. Data parallelism comes
+from sharding annotations on the inputs (see ``imm_tpu.parallel.mesh``) — XLA
+partitions the step and all-reduces gradients over ICI automatically.
+
+Two dispatch-amortization paths (the axon-tunneled chip costs ~27 ms per
+dispatch, so many optimizer steps ride one jitted call):
+
+- ``make_synthetic_train_step``: the data source itself is an on-device pure
+  function of a PRNG key, so a ``lax.scan`` runs N full (generate -> warp ->
+  forward -> backward -> update) iterations per call with zero host traffic.
+- ``make_train_step`` + ``scan_steps > 1``: host-fed batches arrive stacked
+  ``(N, B, ...)`` and the scan walks the leading axis.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from imm_tpu.data.pairs import PairSynthesizer
+from imm_tpu.losses.perceptual import ReconstructionLoss
+from imm_tpu.models.imm import IMM
+from imm_tpu.train.state import TrainConfig, TrainState, make_optimizer
+
+Metrics = dict[str, jnp.ndarray]
+
+
+def _single_step(
+    model: IMM,
+    loss_fn: ReconstructionLoss,
+    optimizer,
+    state: TrainState,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+) -> tuple[TrainState, Metrics]:
+    """One optimizer update given an already-synthesized (source, target)."""
+
+    def objective(params):
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out, mutated = model.apply(
+            variables, source, target, train=True, mutable=["batch_stats"]
+        )
+        total, new_ema, metrics = loss_fn(
+            out.recon, target, state.loss_ema, state.step
+        )
+        new_stats = mutated.get("batch_stats", state.batch_stats)
+        return total, (new_stats, new_ema, metrics)
+
+    (loss, (new_stats, new_ema, metrics)), grads = jax.value_and_grad(
+        objective, has_aux=True
+    )(state.params)
+    updates, new_opt_state = optimizer.update(
+        grads, state.opt_state, state.params
+    )
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    metrics = dict(metrics)
+    metrics["loss/total"] = loss
+    metrics["grad_norm"] = jax.tree.reduce(
+        lambda a, b: a + b, jax.tree.map(lambda g: jnp.sum(g * g), grads)
+    ) ** 0.5
+    new_state = TrainState(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt_state,
+        loss_ema=new_ema,
+    )
+    return new_state, metrics
+
+
+def make_train_step(
+    model: IMM,
+    loss_fn: ReconstructionLoss,
+    train_config: TrainConfig,
+    pair_synth: PairSynthesizer,
+    pair_mode: str = "tps",
+    scan_steps: int = 1,
+    donate: bool = True,
+) -> Callable[[TrainState, dict[str, Any], jax.Array], tuple[TrainState, Metrics]]:
+    """Host-fed step. ``batch`` keys: 'image' (tps) or 'image_a'/'image_b'
+    (temporal). With ``scan_steps > 1`` every batch leaf has an extra leading
+    scan axis and the returned metrics are scan-averaged."""
+    optimizer = make_optimizer(train_config)
+
+    def synth(rng, batch):
+        if pair_mode == "tps":
+            return pair_synth(rng, batch["image"])
+        if pair_mode == "temporal":
+            return pair_synth.temporal_pair(rng, batch["image_a"], batch["image_b"])
+        raise ValueError(f"unknown pair mode: {pair_mode!r}")
+
+    def one(state, batch, rng):
+        source, target = synth(rng, batch)
+        return _single_step(model, loss_fn, optimizer, state, source, target)
+
+    if scan_steps == 1:
+        step_fn = one
+    else:
+
+        def step_fn(state, batch, rng):
+            rngs = jax.random.split(rng, scan_steps)
+
+            def body(carry, xs):
+                sub_batch, sub_rng = xs
+                new_state, metrics = one(carry, sub_batch, sub_rng)
+                return new_state, metrics
+
+            state, metrics = jax.lax.scan(body, state, (batch, rngs))
+            return state, jax.tree.map(jnp.mean, metrics)
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_synthetic_train_step(
+    model: IMM,
+    loss_fn: ReconstructionLoss,
+    train_config: TrainConfig,
+    pair_synth: PairSynthesizer,
+    sample_batch: Callable[[jax.Array], dict[str, jnp.ndarray]],
+    pair_mode: str = "tps",
+    scan_steps: int = 1,
+    donate: bool = True,
+):
+    """Fully on-device step: data generation lives inside the jitted program.
+
+    ``sample_batch(rng)`` must be a pure function returning {'image': ...} or
+    {'image_a', 'image_b'}; with ``scan_steps > 1`` the whole
+    generate/synthesize/update pipeline scans on device.
+    """
+    optimizer = make_optimizer(train_config)
+
+    def one(state, rng):
+        k_data, k_pair = jax.random.split(rng)
+        batch = sample_batch(k_data)
+        if pair_mode == "tps":
+            source, target = pair_synth(k_pair, batch["image"])
+        else:
+            source, target = pair_synth.temporal_pair(
+                k_pair, batch["image_a"], batch["image_b"]
+            )
+        return _single_step(model, loss_fn, optimizer, state, source, target)
+
+    def step_fn(state, rng):
+        if scan_steps == 1:
+            return one(state, rng)
+        rngs = jax.random.split(rng, scan_steps)
+        state, metrics = jax.lax.scan(lambda c, r: one(c, r), state, rngs)
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_coords_fn(model: IMM):
+    """Jitted batched pose-encoder sweep: images -> (B, K, 2) coords."""
+
+    def coords_fn(params, batch_stats, images):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        coords, _ = model.apply(variables, images, method=model.encode_pose)
+        return coords
+
+    return jax.jit(coords_fn)

@@ -1,0 +1,68 @@
+"""Landmark-regression protocol tests (SURVEY.md §3.2 / §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imm_tpu.eval import (
+    fit_landmark_regressor,
+    landmark_error,
+    predict_landmarks,
+)
+
+
+def _linear_world(n, k, l, noise, seed=0):
+    """GT landmarks are an exact affine function of the predicted coords.
+
+    The true map is drawn from a FIXED rng so different seeds/sizes share the
+    same world and only the samples differ (train/test splits).
+    """
+    w_true = np.random.default_rng(12345).normal(
+        size=(2 * k + 1, 2 * l)
+    ).astype(np.float32) * 0.3
+    rng = np.random.default_rng(seed)
+    pred = rng.uniform(-1, 1, size=(n, k, 2)).astype(np.float32)
+    feats = np.concatenate([pred.reshape(n, -1), np.ones((n, 1), np.float32)], 1)
+    gt = (feats @ w_true).reshape(n, l, 2)
+    gt += rng.normal(size=gt.shape).astype(np.float32) * noise
+    return jnp.asarray(pred), jnp.asarray(gt)
+
+
+def test_regressor_recovers_exact_linear_map():
+    pred, gt = _linear_world(n=500, k=6, l=5, noise=0.0)
+    w = fit_landmark_regressor(pred, gt, ridge=1e-8)
+    err = landmark_error(predict_landmarks(w, pred), gt, norm="size")
+    assert float(err) < 0.1  # % of image size
+
+
+def test_regressor_generalizes_under_noise():
+    pred, gt = _linear_world(n=1000, k=6, l=5, noise=0.01)
+    pred_te, gt_te = _linear_world(n=200, k=6, l=5, noise=0.01, seed=1)
+    w = fit_landmark_regressor(pred, gt)
+    err = landmark_error(predict_landmarks(w, pred_te), gt_te, norm="size")
+    assert float(err) < 2.0
+
+
+def test_iod_normalization():
+    """Doubling the face scale leaves %IOD unchanged."""
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(-0.5, 0.5, size=(50, 5, 2)).astype(np.float32)
+    pred = gt + rng.normal(size=gt.shape).astype(np.float32) * 0.02
+    e1 = landmark_error(jnp.asarray(pred), jnp.asarray(gt), norm="iod")
+    e2 = landmark_error(jnp.asarray(pred * 2), jnp.asarray(gt * 2), norm="iod")
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-4)
+
+
+def test_perfect_prediction_zero_error():
+    gt = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, size=(10, 5, 2)))
+    assert float(landmark_error(gt, gt, norm="iod")) < 1e-5
+
+
+def test_chance_level_vs_informative():
+    """An informative predictor beats a constant (chance) predictor."""
+    pred, gt = _linear_world(n=300, k=6, l=5, noise=0.05)
+    w = fit_landmark_regressor(pred, gt)
+    informative = landmark_error(predict_landmarks(w, pred), gt, norm="size")
+    const = jnp.broadcast_to(jnp.mean(gt, axis=0, keepdims=True), gt.shape)
+    chance = landmark_error(const, gt, norm="size")
+    assert float(informative) < 0.5 * float(chance)

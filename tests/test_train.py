@@ -1,0 +1,100 @@
+"""End-to-end training dynamics on the synthetic harness (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imm_tpu.data import PairConfig, PairSynthesizer, SyntheticBlobFaces
+from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+from imm_tpu.models import IMMConfig
+from imm_tpu.train import TrainConfig, create_train_state
+from imm_tpu.train.steps import make_synthetic_train_step, make_train_step
+
+TINY = IMMConfig(
+    image_size=32,
+    n_landmarks=4,
+    filters=(8, 8, 16, 16),
+    strides=(1, 2, 1, 2),
+    decoder_filters=(16, 8, 8),
+)
+
+
+def _setup(loss_source="pixel", steps_per_call=1, batch=8):
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source=loss_source, weights=(1.0, 1.0, 1.0))
+    )
+    tcfg = TrainConfig(batch_size=batch, learning_rate=1e-3, lr_boundaries=(), lr_factors=(1.0,))
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), TINY, tcfg, loss_fn.n_terms
+    )
+    faces = SyntheticBlobFaces(image_size=32)
+    pair = PairSynthesizer(PairConfig())
+    step = make_synthetic_train_step(
+        model, loss_fn, tcfg, pair,
+        lambda rng: faces.sample(rng, batch),
+        scan_steps=steps_per_call,
+        donate=False,
+    )
+    return step, state
+
+
+def test_loss_decreases():
+    step, state = _setup()
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(40):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, k)
+        losses.append(float(metrics["loss/total"]))
+    first = np.mean(losses[1:6])  # skip step 0 (EMA seeding)
+    last = np.mean(losses[-5:])
+    assert np.isfinite(losses).all()
+    assert last < first * 0.9, f"loss did not decrease: {first} -> {last}"
+    assert int(state.step) == 40
+
+
+def test_scanned_steps_equivalent_speedup_path():
+    """scan_steps=4 advances the state 4 steps per call with finite loss."""
+    step, state = _setup(steps_per_call=4)
+    state, metrics = step(state, jax.random.PRNGKey(0))
+    assert int(state.step) == 4
+    assert np.isfinite(float(metrics["loss/total"]))
+
+
+def test_host_fed_train_step_tps_and_temporal():
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1))
+    )
+    tcfg = TrainConfig(batch_size=4, lr_boundaries=(), lr_factors=(1.0,))
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), TINY, tcfg, loss_fn.n_terms
+    )
+    pair = PairSynthesizer(PairConfig())
+    imgs = np.random.default_rng(0).uniform(size=(4, 32, 32, 3)).astype(np.float32)
+
+    step_tps = make_train_step(model, loss_fn, tcfg, pair, "tps", donate=False)
+    state2, m = step_tps(state, {"image": jnp.asarray(imgs)}, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss/total"]))
+
+    step_tmp = make_train_step(model, loss_fn, tcfg, pair, "temporal", donate=False)
+    _, m = step_tmp(
+        state,
+        {"image_a": jnp.asarray(imgs), "image_b": jnp.asarray(imgs[::-1])},
+        jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(m["loss/total"]))
+
+
+def test_synthetic_faces_properties():
+    faces = SyntheticBlobFaces(image_size=32)
+    batch = faces.sample(jax.random.PRNGKey(0), 4)
+    assert batch["image"].shape == (4, 32, 32, 3)
+    assert batch["landmarks"].shape == (4, 5, 2)
+    assert float(batch["image"].min()) >= 0.0
+    assert float(batch["image"].max()) <= 1.0
+    pair = faces.sample_pair(jax.random.PRNGKey(1), 2)
+    assert pair["image_a"].shape == (2, 32, 32, 3)
+    # same identity, different pose -> images differ
+    assert float(jnp.abs(pair["image_a"] - pair["image_b"]).max()) > 0.05
+    iod = SyntheticBlobFaces.interocular(batch["landmarks"])
+    assert bool(jnp.all(iod > 0.1))
