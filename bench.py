@@ -1,0 +1,89 @@
+"""Benchmark: training throughput of the flagship config on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology: the flagship face config (128px, K=10, batch 64, bf16 compute,
+VGG-family perceptual loss) with the fully on-device data path (synthetic
+generator -> TPS pair synthesis -> fwd/bwd -> Adam), 20 optimizer steps per
+dispatch via lax.scan (the axon tunnel costs ~27 ms per dispatch). Timing is
+the median of several steady-state calls after warmup, counted as images
+(pairs) per second per chip.
+
+Baseline: the reference (tomasjakab/imm, TF1) publishes NO throughput numbers
+and the reference mount is empty (BASELINE.md), so the denominator is a
+documented estimate of the TF1-era single-GPU rate for this model+loss:
+~30 GFLOP/image fwd+bwd on a 1080Ti-class card at ~30% utilization
+=> ~100 images/sec. vs_baseline = value / 100.0. Re-measure if the reference
+code ever materializes (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+
+BASELINE_TF1_GPU_IMG_PER_SEC = 100.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from imm_tpu.data import PairConfig, PairSynthesizer, SyntheticBlobFaces
+    from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+    from imm_tpu.models import IMMConfig
+    from imm_tpu.train import TrainConfig, create_train_state
+    from imm_tpu.train.steps import make_synthetic_train_step
+
+    batch, scan = 64, 20
+    cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
+    loss_fn = ReconstructionLoss(PerceptualLossConfig())
+    tcfg = TrainConfig(batch_size=batch)
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, loss_fn.n_terms
+    )
+    jax.block_until_ready(state.params)
+
+    faces = SyntheticBlobFaces(image_size=cfg.image_size)
+    pair = PairSynthesizer(PairConfig())
+    step = make_synthetic_train_step(
+        model, loss_fn, tcfg, pair,
+        lambda rng: faces.sample(rng, batch), scan_steps=scan,
+    )
+
+    rng = jax.random.PRNGKey(1)
+    # warmup: compile + 2 steady calls
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        state, m = step(state, k)
+        jax.block_until_ready(m)
+
+    times = []
+    for _ in range(5):
+        rng, k = jax.random.split(rng)
+        t0 = time.time()
+        state, m = step(state, k)
+        jax.block_until_ready(m)
+        times.append(time.time() - t0)
+
+    n_chips = jax.device_count()
+    img_per_sec_per_chip = batch * scan / statistics.median(times) / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip",
+                "value": round(img_per_sec_per_chip, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    img_per_sec_per_chip / BASELINE_TF1_GPU_IMG_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
