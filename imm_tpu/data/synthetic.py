@@ -50,6 +50,7 @@ class SyntheticBlobFaces:
     trans_range: float = 0.25  # uniform center offset
     offset_sd: float = 0.03  # identity-specific part offsets
     noise_sd: float = 0.02
+    dtype: str = "float32"  # 'bfloat16' keeps the whole data path off f32
 
     @property
     def n_landmarks(self) -> int:
@@ -123,7 +124,8 @@ class SyntheticBlobFaces:
             canvas = canvas * (1 - a) + color * a
 
         noise = jax.random.normal(rng, canvas.shape) * self.noise_sd
-        return jnp.clip(canvas + noise, 0.0, 1.0)
+        out = jnp.clip(canvas + noise, 0.0, 1.0)
+        return out.astype(jnp.dtype(self.dtype))
 
     # -- public API -------------------------------------------------------
 

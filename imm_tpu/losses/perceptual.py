@@ -112,11 +112,15 @@ class ReconstructionLoss:
                 terms.append(jnp.mean(jnp.square(r - t)))
                 r, t = _avg_pool2(r), _avg_pool2(t)
             return terms
-        f_r = self._vgg.apply({"params": self.vgg_params}, recon)
-        f_t = self._vgg.apply({"params": self.vgg_params}, target)
+        # One VGG pass over the stacked batch instead of two: doubles the
+        # conv batch (better MXU utilization) and halves kernel dispatches.
+        both = jnp.concatenate([recon, target], axis=0)
+        feats = self._vgg.apply({"params": self.vgg_params}, both)
+        b = recon.shape[0]
         terms = [jnp.mean(jnp.square(recon - target))]
         for tap in self.config.taps:
-            terms.append(jnp.mean(jnp.square(f_r[tap] - f_t[tap])))
+            f = feats[tap]
+            terms.append(jnp.mean(jnp.square(f[:b] - f[b:])))
         return terms
 
     def __call__(

@@ -149,6 +149,10 @@ class Trainer:
                 batch = jax.tree.map(jnp.asarray, batch)
                 state, metrics = self.step_fn(state, batch, k)
             images_in_window += self.batch_size * self.steps_per_call
+            # keep self.state current: the initial state's buffers are DONATED
+            # on the first call, and save()/external readers must never touch
+            # a donated array.
+            self.state = state
             step = int(jax.device_get(state.step))
             if step >= next_log or step >= self.total_steps:
                 jax.block_until_ready(metrics)

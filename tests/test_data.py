@@ -1,0 +1,130 @@
+"""Dataset loader tests against fabricated on-disk fixtures.
+
+No real datasets exist on this machine (SURVEY.md §7), so each loader is
+exercised on a tiny fixture written in the same format as the public
+distribution (CelebA annotation txt + MAFL lists, '.cat' files, H36M frame
+dirs + landmarks.npy, AFLW csv).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from imm_tpu.data import (
+    AFLWDataset,
+    CatHeadsDataset,
+    CelebADataset,
+    Human36MDataset,
+    get_dataset,
+)
+
+
+def _write_jpg(path, h=40, w=36, seed=0):
+    rng = np.random.default_rng(seed)
+    img = (rng.uniform(0, 255, size=(h, w, 3))).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, img)
+    return img
+
+
+def _make_celeba(root, n=6):
+    img_dir = os.path.join(root, "Img", "img_align_celeba")
+    names = [f"{i:06d}.jpg" for i in range(1, n + 1)]
+    for i, name in enumerate(names):
+        _write_jpg(os.path.join(img_dir, name), h=218, w=178, seed=i)
+    os.makedirs(os.path.join(root, "Anno"), exist_ok=True)
+    with open(os.path.join(root, "Anno", "list_landmarks_align_celeba.txt"), "w") as f:
+        f.write(f"{n}\n")
+        f.write("lefteye_x lefteye_y righteye_x righteye_y nose_x nose_y "
+                "leftmouth_x leftmouth_y rightmouth_x rightmouth_y\n")
+        for name in names:
+            f.write(name + " 69 111 108 112 88 134 72 152 105 152\n")
+    os.makedirs(os.path.join(root, "MAFL"), exist_ok=True)
+    with open(os.path.join(root, "MAFL", "training.txt"), "w") as f:
+        f.write("\n".join(names[:4]) + "\n")
+    with open(os.path.join(root, "MAFL", "testing.txt"), "w") as f:
+        f.write("\n".join(names[4:]) + "\n")
+
+
+def test_celeba_loader(tmp_path):
+    root = str(tmp_path / "celeba")
+    _make_celeba(root)
+    ds = CelebADataset(root, image_size=32)
+    # MAFL test files excluded from training
+    assert len(ds._train_files()) == 4
+    batches = ds.train_batches(2, n_batches=3)
+    got = list(batches)
+    assert len(got) == 3
+    assert got[0]["image"].shape == (2, 32, 32, 3)
+    assert got[0]["image"].dtype == np.float32
+    assert 0.0 <= got[0]["image"].min() and got[0]["image"].max() <= 1.0
+
+    ev = ds.eval_arrays("test")
+    assert ev["image"].shape == (2, 32, 32, 3)
+    assert ev["landmarks"].shape == (2, 5, 2)
+    # landmarks are (y, x) in [-1, 1]; eyes sit above the mouth corners and
+    # the left eye is left of the right eye
+    assert np.all(ev["landmarks"][:, 0, 0] < ev["landmarks"][:, 3, 0])
+    assert np.all(ev["landmarks"][:, 0, 1] < ev["landmarks"][:, 1, 1])
+    assert np.all(np.abs(ev["landmarks"]) <= 1.0)
+
+
+def test_cats_loader(tmp_path):
+    root = str(tmp_path / "cats")
+    for i in range(5):
+        p = os.path.join(root, "CAT_00", f"cat_{i}.jpg")
+        _write_jpg(p, h=64, w=64, seed=i)
+        with open(p + ".cat", "w") as f:
+            f.write("9 " + " ".join(str(8 + 2 * j) for j in range(18)))
+    ds = CatHeadsDataset(root, image_size=32, train_fraction=0.6)
+    assert len(ds._train_files()) == 3
+    ev = ds.eval_arrays("test")
+    assert ev["image"].shape == (2, 32, 32, 3)
+    assert ev["landmarks"].shape == (2, 9, 2)
+
+
+def test_human36m_loader(tmp_path):
+    root = str(tmp_path / "h36m")
+    for split, seqs in (("train", 2), ("test", 1)):
+        for s in range(seqs):
+            seq_dir = os.path.join(root, split, f"S{s}")
+            for t in range(4):
+                _write_jpg(os.path.join(seq_dir, f"frame_{t:04d}.jpg"), 48, 48, seed=t)
+            np.save(
+                os.path.join(seq_dir, "landmarks.npy"),
+                np.full((4, 16, 2), 24.0, np.float32),
+            )
+    ds = Human36MDataset(root, image_size=32, max_gap=2)
+    pairs = list(ds.train_pair_batches(2, n_batches=2))
+    assert pairs[0]["image_a"].shape == (2, 32, 32, 3)
+    assert pairs[0]["image_b"].shape == (2, 32, 32, 3)
+    ev = ds.eval_arrays("test")
+    assert ev["image"].shape == (4, 32, 32, 3)
+    assert ev["landmarks"].shape == (4, 16, 2)
+    # center-pixel annotation maps to ~(0, 0) normalized
+    assert np.all(np.abs(ev["landmarks"]) < 0.1)
+
+
+def test_aflw_loader(tmp_path):
+    root = str(tmp_path / "aflw")
+    for i in range(4):
+        _write_jpg(os.path.join(root, "images", f"face{i}.jpg"), 50, 50, seed=i)
+    for split, names in (("train", [0, 1, 2]), ("test", [3])):
+        with open(os.path.join(root, f"aflw_{split}.csv"), "w") as f:
+            for i in names:
+                f.write(f"face{i}.jpg," + ",".join(["25.0"] * 10) + "\n")
+    ds = AFLWDataset(root, image_size=32)
+    assert len(ds._train_files()) == 4
+    ev = ds.eval_arrays("test")
+    assert ev["image"].shape == (1, 32, 32, 3)
+    assert ev["landmarks"].shape == (1, 5, 2)
+
+
+def test_factory_and_missing_root():
+    with pytest.raises(FileNotFoundError):
+        get_dataset("celeba", "/nonexistent/path")
+    with pytest.raises(KeyError):
+        get_dataset("nope", "/tmp")

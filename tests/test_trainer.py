@@ -1,0 +1,64 @@
+"""Trainer loop: run, checkpoint, resume (SURVEY.md §5 checkpoint/resume)."""
+
+import numpy as np
+
+from imm_tpu.configs import get_preset
+from imm_tpu.experiment import build_experiment
+
+
+def test_trainer_runs_and_checkpoints(tmp_path):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        get_preset("tiny_cpu"), workdir=str(tmp_path / "run")
+    )
+    exp = build_experiment(cfg, total_steps=10)
+    exp.trainer.options.checkpoint_every = 5
+    state = exp.run()
+    assert int(state.step) == 10
+    assert len(exp.trainer.history) > 0
+    assert np.isfinite(exp.trainer.history[-1]["loss/total"])
+
+    # a fresh experiment restores and continues from the saved step
+    exp2 = build_experiment(cfg, total_steps=12)
+    restored = exp2.trainer.restore_or_init()
+    assert int(restored.step) == 10
+    state2 = exp2.trainer.run()
+    assert int(state2.step) == 12
+
+
+def test_eval_fn_on_synthetic(tmp_path):
+    import dataclasses
+
+    cfg = dataclasses.replace(get_preset("tiny_cpu"), eval_samples=32)
+    exp = build_experiment(cfg, total_steps=0)
+    results = exp.eval_fn(exp.state)
+    assert "landmark_error_test_pct" in results
+    assert np.isfinite(results["landmark_error_test_pct"])
+
+
+def test_viz_utilities():
+    from imm_tpu.utils.viz import (
+        colorize_landmark_maps,
+        image_grid,
+        landmark_colors,
+        overlay_landmarks,
+    )
+
+    maps = np.random.default_rng(0).uniform(size=(2, 8, 8, 5)).astype(np.float32)
+    colored = colorize_landmark_maps(maps)
+    assert colored.shape == (2, 8, 8, 3)
+    assert colored.max() <= 1.0 + 1e-6
+
+    colors = landmark_colors(10)
+    assert colors.shape == (10, 3)
+    assert len({tuple(c) for c in colors.round(3)}) == 10  # distinct
+
+    imgs = np.zeros((2, 16, 16, 3), np.float32)
+    coords = np.asarray([[[0.0, 0.0], [-1.0, -1.0]]] * 2, np.float32)
+    over = overlay_landmarks(imgs, coords, radius=1)
+    assert over[0, 8, 8].sum() > 0  # center dot drawn
+    assert over[0, 0, 0].sum() > 0  # corner dot drawn
+
+    grid = image_grid(np.ones((5, 4, 4, 3)), n_cols=2)
+    assert grid.shape == (3 * 4, 2 * 4, 3)
