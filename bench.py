@@ -55,18 +55,24 @@ def main():
     )
 
     rng = jax.random.PRNGKey(1)
-    # warmup: compile + 2 steady calls
-    for _ in range(3):
+
+    # NOTE: through the axon relay, block_until_ready can return before the
+    # computation finishes; a host read of a value that depends on the whole
+    # step (the loss) is the only reliable barrier.
+    def run_one(state, rng):
         rng, k = jax.random.split(rng)
         state, m = step(state, k)
-        jax.block_until_ready(m)
+        float(m["loss/total"])
+        return state, rng
+
+    # warmup: compile + 2 steady calls
+    for _ in range(3):
+        state, rng = run_one(state, rng)
 
     times = []
     for _ in range(5):
-        rng, k = jax.random.split(rng)
         t0 = time.time()
-        state, m = step(state, k)
-        jax.block_until_ready(m)
+        state, rng = run_one(state, rng)
         times.append(time.time() - t0)
 
     n_chips = jax.device_count()

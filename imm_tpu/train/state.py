@@ -31,6 +31,10 @@ class TrainConfig:
     adam_b2: float = 0.999
     grad_clip: float = 0.0  # 0 disables
     weight_decay: float = 0.0
+    # NaN guard (SURVEY.md §5 sanitizers): when True, a step whose loss or
+    # grads go non-finite applies a zero update instead of poisoning the
+    # params; the skipped step is visible as metrics['nonfinite_step']=1.
+    skip_nonfinite_updates: bool = False
     total_steps: int = 300_000
     seed: int = 0
     # Dispatch amortization: run this many optimizer steps per jitted call

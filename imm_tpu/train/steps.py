@@ -39,6 +39,7 @@ def _single_step(
     state: TrainState,
     source: jnp.ndarray,
     target: jnp.ndarray,
+    nan_guard: bool = False,
 ) -> tuple[TrainState, Metrics]:
     """One optimizer update given an already-synthesized (source, target)."""
 
@@ -58,15 +59,27 @@ def _single_step(
     (loss, (new_stats, new_ema, metrics)), grads = jax.value_and_grad(
         objective, has_aux=True
     )(state.params)
+    metrics = dict(metrics)
+    grad_sq = jax.tree.reduce(
+        lambda a, b: a + b, jax.tree.map(lambda g: jnp.sum(g * g), grads)
+    )
+    if nan_guard:
+        ok = jnp.isfinite(loss) & jnp.isfinite(grad_sq)
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        # a skipped step must not leak NaNs through the side state either
+        new_ema = jnp.where(ok, new_ema, state.loss_ema)
+        new_stats = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_stats, state.batch_stats
+        )
+        metrics["nonfinite_step"] = 1.0 - ok.astype(jnp.float32)
     updates, new_opt_state = optimizer.update(
         grads, state.opt_state, state.params
     )
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-    metrics = dict(metrics)
     metrics["loss/total"] = loss
-    metrics["grad_norm"] = jax.tree.reduce(
-        lambda a, b: a + b, jax.tree.map(lambda g: jnp.sum(g * g), grads)
-    ) ** 0.5
+    metrics["grad_norm"] = grad_sq**0.5
     new_state = TrainState(
         step=state.step + 1,
         params=new_params,
@@ -100,7 +113,10 @@ def make_train_step(
 
     def one(state, batch, rng):
         source, target = synth(rng, batch)
-        return _single_step(model, loss_fn, optimizer, state, source, target)
+        return _single_step(
+            model, loss_fn, optimizer, state, source, target,
+            nan_guard=train_config.skip_nonfinite_updates,
+        )
 
     if scan_steps == 1:
         step_fn = one
@@ -147,7 +163,10 @@ def make_synthetic_train_step(
             source, target = pair_synth.temporal_pair(
                 k_pair, batch["image_a"], batch["image_b"]
             )
-        return _single_step(model, loss_fn, optimizer, state, source, target)
+        return _single_step(
+            model, loss_fn, optimizer, state, source, target,
+            nan_guard=train_config.skip_nonfinite_updates,
+        )
 
     def step_fn(state, rng):
         if scan_steps == 1:

@@ -98,3 +98,60 @@ def test_synthetic_faces_properties():
     assert float(jnp.abs(pair["image_a"] - pair["image_b"]).max()) > 0.05
     iod = SyntheticBlobFaces.interocular(batch["landmarks"])
     assert bool(jnp.all(iod > 0.1))
+
+
+def test_nan_guard_skips_bad_update():
+    """A poisoned batch must not corrupt params when the guard is on."""
+    import dataclasses
+    from imm_tpu.data import PairConfig, PairSynthesizer
+    from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+    from imm_tpu.train import TrainConfig, create_train_state
+    from imm_tpu.train.steps import make_train_step
+
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1))
+    )
+    tcfg = TrainConfig(
+        batch_size=2, lr_boundaries=(), lr_factors=(1.0,),
+        skip_nonfinite_updates=True,
+    )
+    model, state = create_train_state(jax.random.PRNGKey(0), TINY, tcfg, loss_fn.n_terms)
+    pair = PairSynthesizer(dataclasses.replace(PairConfig(), enable_warp=False, enable_jitter=False))
+    step = make_train_step(model, loss_fn, tcfg, pair, "tps", donate=False)
+
+    bad = jnp.full((2, 32, 32, 3), jnp.nan, jnp.float32)
+    new_state, metrics = step(state, {"image": bad}, jax.random.PRNGKey(1))
+    assert float(metrics["nonfinite_step"]) == 1.0
+    # params unchanged (Adam with zero grads still has zero update)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert bool(jnp.all(jnp.isfinite(jax.tree.leaves(new_state.params)[0])))
+
+
+def test_nan_guard_protects_ema_and_batch_stats():
+    import dataclasses
+    from imm_tpu.data import PairConfig, PairSynthesizer
+    from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+    from imm_tpu.train import TrainConfig, create_train_state
+    from imm_tpu.train.steps import make_train_step
+
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1))
+    )
+    tcfg = TrainConfig(
+        batch_size=2, lr_boundaries=(), lr_factors=(1.0,),
+        skip_nonfinite_updates=True,
+    )
+    model, state = create_train_state(jax.random.PRNGKey(0), TINY, tcfg, loss_fn.n_terms)
+    pair = PairSynthesizer(dataclasses.replace(PairConfig(), enable_warp=False, enable_jitter=False))
+    step = make_train_step(model, loss_fn, tcfg, pair, "tps", donate=False)
+
+    bad = jnp.full((2, 32, 32, 3), jnp.nan, jnp.float32)
+    s1, _ = step(state, {"image": bad}, jax.random.PRNGKey(1))
+    assert bool(jnp.all(jnp.isfinite(s1.loss_ema)))
+    for leaf in jax.tree.leaves(s1.batch_stats):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    # and a good batch afterwards trains normally
+    good = jnp.full((2, 32, 32, 3), 0.5, jnp.float32)
+    s2, m = step(s1, {"image": good}, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss/total"]))
