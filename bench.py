@@ -38,7 +38,7 @@ def main():
     from imm_tpu.train import TrainConfig, create_train_state
     from imm_tpu.train.steps import make_synthetic_train_step
 
-    batch, scan = 64, 20
+    batch, scan = 128, 20
     cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
     loss_fn = ReconstructionLoss(PerceptualLossConfig())
     tcfg = TrainConfig(batch_size=batch)

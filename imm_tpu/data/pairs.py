@@ -37,6 +37,7 @@ class PairConfig:
     jitter_channel: float = 0.15
     enable_warp: bool = True  # False for video (temporal) pairs
     enable_jitter: bool = True
+    warp_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (see ops.tps.warp_image)
 
 
 class PairSynthesizer:
@@ -57,20 +58,29 @@ class PairSynthesizer:
         b = images.shape[0]
         k_shared, k_src, k_tgt, k_jit = jax.random.split(rng, 4)
         if c.enable_warp:
+            # warp parameters/grids stay float32 even for bf16 images —
+            # bf16 coordinates quantize to ~0.5px (see ops.image)
+            f32 = jnp.float32
             shared = sample_tps_params(
                 k_shared, b, c.rotsd[0], c.scalesd[0], c.transsd[0], c.warpsd[0],
-                c.n_grid, images.dtype,
+                c.n_grid, f32,
             )
             ind_s = sample_tps_params(
                 k_src, b, c.rotsd[1], c.scalesd[1], c.transsd[1], c.warpsd[1],
-                c.n_grid, images.dtype,
+                c.n_grid, f32,
             )
             ind_t = sample_tps_params(
                 k_tgt, b, c.rotsd[1], c.scalesd[1], c.transsd[1], c.warpsd[1],
-                c.n_grid, images.dtype,
+                c.n_grid, f32,
             )
-            source = warp_image(images, combine_params(shared, ind_s), n_grid=c.n_grid)
-            target = warp_image(images, combine_params(shared, ind_t), n_grid=c.n_grid)
+            source = warp_image(
+                images, combine_params(shared, ind_s), n_grid=c.n_grid,
+                impl=c.warp_impl,
+            )
+            target = warp_image(
+                images, combine_params(shared, ind_t), n_grid=c.n_grid,
+                impl=c.warp_impl,
+            )
         else:
             source, target = images, images
         if c.enable_jitter:

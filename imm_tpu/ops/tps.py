@@ -142,14 +142,17 @@ def tps_sampler_grid(
     b = params.cp_delta.shape[0]
 
     # Spline weights: pad displacements with the 3 affine-constraint zeros and
-    # hit the precomputed inverse -> (B, n+3, 2). One small batched matmul.
+    # hit the precomputed inverse. Laid out as plain 2-D matmuls — (G, n+3) @
+    # (n+3, B*2) — so XLA lowers straight onto the MXU instead of a batched
+    # broadcast-reduce.
     rhs = jnp.concatenate(
         [params.cp_delta, jnp.zeros((b, 3, 2), dtype)], axis=1
-    )
-    weights = jnp.einsum("ij,bjc->bic", l_inv, rhs)
+    )  # (B, n+3, 2)
+    rhs2d = rhs.transpose(1, 0, 2).reshape(n + 3, b * 2)
+    weights = l_inv @ rhs2d  # (n+3, B*2)
 
-    # Dense TPS displacement: (G, n+3) @ (B, n+3, 2) -> (B, G, 2). MXU matmul.
-    disp = jnp.einsum("gi,bic->bgc", basis, weights)
+    # Dense TPS displacement: (G, n+3) @ (n+3, B*2) -> (B, G, 2).
+    disp = (basis @ weights).reshape(-1, b, 2).transpose(1, 0, 2)
 
     # Similarity transform of the identity lattice.
     base = normalized_grid(h, w, dtype).reshape(-1, 2)  # (G, 2)
@@ -168,9 +171,23 @@ def warp_image(
     params: TPSParams,
     out_hw: tuple[int, int] | None = None,
     n_grid: int = 4,
+    impl: str = "xla",
 ) -> jnp.ndarray:
-    """Apply batched TPS+similarity warps: grid build + one bilinear resample."""
+    """Apply batched TPS+similarity warps: grid build + one bilinear resample.
+
+    ``impl``: 'xla' (fused-gather ``bilinear_sample``), 'pallas' (the
+    matmul-warp kernel in ``ops.warp_pallas``), or 'auto' (pallas on TPU).
+    """
     if out_hw is None:
         out_hw = images.shape[1:3]
-    grid = tps_sampler_grid(params, out_hw, n_grid)
-    return bilinear_sample(images, grid.astype(images.dtype))
+    # Grid stays float32 (see bilinear_sample: bf16 coords quantize ~0.5px).
+    grid = tps_sampler_grid(params, out_hw, n_grid).astype(jnp.float32)
+    if impl == "auto":
+        import jax
+
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from imm_tpu.ops.warp_pallas import warp_bilinear_pallas
+
+        return warp_bilinear_pallas(images, grid)
+    return bilinear_sample(images, grid)

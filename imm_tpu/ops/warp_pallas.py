@@ -1,0 +1,129 @@
+"""Pallas TPU kernel for batched bilinear warping (the hot data-path op).
+
+Why not gathers: XLA lowers ``take_along_axis`` on TPU to an element-wise
+gather whose effective bandwidth is poor for 3-channel rows (the 3-lane
+payload is padded to the 128-lane tile) — measured ~70 ms for a single
+(128, 128, 128, 3) warp, making pair synthesis ~35% of the train step.
+
+This kernel reformulates bilinear sampling as dense MXU work with NO
+gathers and no Mosaic-hostile reshapes:
+
+- One program per (image, channel); the caller supplies the image
+  *transposed* to (W, H) and the sampling coordinates pre-flattened to
+  pixel-space vectors ``fy, fx`` of length Q = Ho*Wo.
+- For each Q-chunk, the y-interpolation is the matmul
+  ``imgT (W, H) @ Yw (H, QB)`` where ``Yw`` carries TWO weighted entries
+  per column — ``1-wy`` at row ``y0`` and ``wy`` at ``y0+1``. The lerp IS
+  the matmul; the "gather" is a structured one-hot contraction the MXU
+  executes at full tile utilization.
+- The x-interpolation applies the analogous two-entry weight mask over the
+  W (sublane) axis and reduces: ``sum(src * Xw, axis=0)`` — fused in VMEM,
+  so the (W, QB) intermediate never touches HBM.
+
+Per 128px image this is ~1.6 GFLOP of dense work — milliseconds for a
+128-batch on the MXU vs ~70 ms of gather traffic.
+
+The backward pass is supplied via custom VJP using the XLA reference
+implementation (warping is an input-pipeline op in training, so the
+backward is rarely exercised; correctness over speed there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imm_tpu.ops.image import bilinear_sample
+
+_CHUNK = 1024  # Q-positions per inner iteration (8 lane-tiles)
+
+
+def _warp_kernel(imgt_ref, fy_ref, fx_ref, out_ref, *, h, w, q, chunk):
+    imgt = imgt_ref[0, 0].astype(jnp.float32)  # (W, H)
+
+    def body(i, _):
+        q0 = i * chunk
+        fy = fy_ref[0, 0:1, pl.ds(q0, chunk)]  # (1, QB) f32, pixel units
+        fx = fx_ref[0, 0:1, pl.ds(q0, chunk)]
+        y0f = jnp.floor(fy)
+        x0f = jnp.floor(fx)
+        wy = fy - y0f
+        wx = fx - x0f
+        y0 = y0f.astype(jnp.int32)
+        x0 = x0f.astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+
+        # (H, QB) two-entry column weights: the y-lerp as matmul operand.
+        # (integer iota: Mosaic's tpu.iota has no float variant)
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, chunk), 0)
+        yw = jnp.where(iota_h == y0, 1.0 - wy, 0.0) + jnp.where(
+            iota_h == y1, wy, 0.0
+        )
+        src = jnp.dot(imgt, yw, preferred_element_type=jnp.float32)  # (W, QB)
+
+        # (W, QB) two-entry row weights: x-lerp as mask + sublane reduce.
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, chunk), 0)
+        xw = jnp.where(iota_w == x0, 1.0 - wx, 0.0) + jnp.where(
+            iota_w == x1, wx, 0.0
+        )
+        out = jnp.sum(src * xw, axis=0, keepdims=True)  # (1, QB)
+        out_ref[0, 0, 0:1, pl.ds(q0, chunk)] = out.astype(out_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, q // chunk, body, ())
+
+
+def _warp_pallas_fwd(images, grid):
+    b, h, w, c = images.shape
+    _, ho, wo, _ = grid.shape
+    q = ho * wo
+    chunk = min(_CHUNK, q)
+    if q % chunk:
+        raise ValueError(f"Ho*Wo must be a multiple of {chunk}")
+    grid = grid.astype(jnp.float32)
+    # singleton dims keep every BlockSpec's trailing-2 dims equal to the
+    # array dims (Mosaic's block-shape divisibility rule)
+    fy = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (h - 1), 0.0, h - 1).reshape(b, 1, q)
+    fx = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (w - 1), 0.0, w - 1).reshape(b, 1, q)
+    imgt = images.transpose(0, 3, 2, 1)  # (B, C, W, H)
+
+    kernel = functools.partial(_warp_kernel, h=h, w=w, q=q, chunk=chunk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, c),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, h), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, q), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, 1, q), images.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(imgt, fy, fx)
+    return out.reshape(b, c, ho, wo).transpose(0, 2, 3, 1)
+
+
+@jax.custom_vjp
+def warp_bilinear_pallas(images, grid):
+    """Pallas-accelerated ``bilinear_sample`` (same semantics/signature)."""
+    return _warp_pallas_fwd(images, grid)
+
+
+def _fwd_rule(images, grid):
+    return _warp_pallas_fwd(images, grid), (images, grid)
+
+
+def _bwd_rule(residuals, cotangent):
+    images, grid = residuals
+    _, vjp_fn = jax.vjp(bilinear_sample, images, grid)
+    return vjp_fn(cotangent)
+
+
+warp_bilinear_pallas.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,49 @@
+"""CLI entry points exercised in-process (train / eval / generate)."""
+
+import numpy as np
+
+
+def test_train_cli(tmp_path):
+    from imm_tpu.cli.train import main
+
+    state = main(
+        [
+            "--preset", "tiny_cpu",
+            "--steps", "3",
+            "--workdir", str(tmp_path / "run"),
+        ]
+    )
+    assert int(state.step) == 3
+
+
+def test_eval_cli(tmp_path):
+    from imm_tpu.cli.eval import main
+
+    results = main(["--preset", "tiny_cpu", "--workdir", str(tmp_path / "r")])
+    assert "landmark_error_test_pct" in results
+
+
+def test_generate_cli(tmp_path):
+    from imm_tpu.cli.generate import main
+
+    out_path = str(tmp_path / "swaps.npy")
+    out = main(
+        ["--preset", "tiny_cpu", "--n", "2", "--out", out_path]
+    )
+    assert out.shape == (2, 32, 32, 3)
+    saved = np.load(out_path)
+    assert saved.shape == (2, 32, 32, 3)
+    assert np.isfinite(saved).all()
+
+
+def test_override_via_cli(tmp_path):
+    from imm_tpu.cli.train import main
+
+    state = main(
+        [
+            "--preset", "tiny_cpu",
+            "--steps", "1",
+            "train.batch_size=4",
+        ]
+    )
+    assert int(state.step) == 1
