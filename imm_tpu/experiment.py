@@ -65,7 +65,11 @@ def build_experiment(
     restore: bool = True,
 ) -> Experiment:
     if mesh is None:
-        mesh = make_mesh()
+        # the data axis must divide the batch: use the largest such device count
+        n_dev = len(jax.devices())
+        while config.train.batch_size % n_dev:
+            n_dev -= 1
+        mesh = make_mesh(n_dev)
     loss_fn = ReconstructionLoss(config.loss)
     model, state = create_train_state(
         jax.random.PRNGKey(config.train.seed), config.model, config.train,
