@@ -170,6 +170,41 @@ def build_experiment(
 
     coords_fn = make_eval_coords_fn(model)
 
+    # Periodic image panels (the reference's TensorBoard summaries): a fixed
+    # small batch through pair synthesis + the model in eval mode.
+    def viz_fn(state):
+        import numpy as np
+
+        from imm_tpu.utils.viz import training_summary_panel
+
+        k = jax.random.PRNGKey(1234)
+        if config.data.source == "synthetic":
+            faces = SyntheticBlobFaces(image_size=config.model.image_size)
+            viz_images = faces.sample(k, 4)["image"]
+        else:
+            leaf = next(iter(batches))["image"]
+            if scan > 1:  # strip the lax.scan super-batch axis
+                leaf = leaf[0]
+            viz_images = jnp.asarray(leaf[:4])
+
+        @jax.jit
+        def fwd(params, batch_stats, images):
+            src, tgt = pair(k, images)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, src, tgt, train=False)
+            return src, tgt, out
+
+        src, tgt, out = fwd(state.params, state.batch_stats, viz_images)
+        return training_summary_panel(
+            np.asarray(src, np.float32),
+            np.asarray(tgt, np.float32),
+            np.asarray(out.recon),
+            np.asarray(out.coords),
+            np.asarray(out.gauss_maps),
+        )
+
     def eval_fn(state):
         from imm_tpu.eval import evaluate_landmarks
 
@@ -195,6 +230,7 @@ def build_experiment(
         seed=config.train.seed,
         eval_fn=eval_fn if config.eval_every else None,
         eval_every=config.eval_every,
+        viz_fn=viz_fn if (config.eval_every and pair_mode == "tps") else None,
     )
     return Experiment(
         config=config,

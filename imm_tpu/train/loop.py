@@ -56,6 +56,7 @@ class Trainer:
         seed: int = 0,
         eval_fn: Callable[[Any], dict[str, float]] | None = None,
         eval_every: int = 0,
+        viz_fn: Callable[[Any], Any] | None = None,
     ):
         self.step_fn = step_fn
         self.state = state
@@ -67,6 +68,7 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         self.eval_fn = eval_fn
         self.eval_every = eval_every
+        self.viz_fn = viz_fn
         self.history: list[dict[str, float]] = []
         self._writer = None
         self._ckpt_mgr = None
@@ -133,6 +135,28 @@ class Trainer:
         if self._writer is not None:
             self._writer.write_scalars(step, metrics)
 
+    def write_image_summary(self, step: int, panel) -> None:
+        """Write a (H, W, 3) float panel (see utils.viz.training_summary_panel)
+        to TensorBoard and/or the workdir — the reference's image summaries."""
+        import numpy as np
+
+        panel = np.clip(np.asarray(panel, np.float32), 0.0, 1.0)
+        if self._writer is not None:
+            self._writer.write_images(step, {"train/panel": panel[None]})
+        if self.options.workdir:
+            try:
+                import cv2
+
+                path = os.path.join(
+                    self.options.workdir, f"panel_{step:08d}.png"
+                )
+                cv2.imwrite(
+                    path,
+                    cv2.cvtColor((panel * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+                )
+            except Exception as e:  # pragma: no cover
+                log.warning("image summary write failed: %s", e)
+
     # -- the loop ---------------------------------------------------------
 
     def run(self):
@@ -176,6 +200,8 @@ class Trainer:
             ):
                 ev = self.eval_fn(state)
                 self._log(step, {f"eval/{k}": v for k, v in ev.items()})
+                if self.viz_fn is not None:
+                    self.write_image_summary(step, self.viz_fn(state))
         self.state = state
         if self._ckpt_mgr is not None:
             self.save(wait=True)
