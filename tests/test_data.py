@@ -128,3 +128,22 @@ def test_factory_and_missing_root():
         get_dataset("celeba", "/nonexistent/path")
     with pytest.raises(KeyError):
         get_dataset("nope", "/tmp")
+
+
+def test_tfdata_pipeline(tmp_path):
+    """The optional tf.data feed yields the same contract as the default."""
+    import pytest
+
+    tf = pytest.importorskip("tensorflow")  # noqa: F841
+    from imm_tpu.data.tfdata import tfdata_batches
+
+    files = []
+    for i in range(4):
+        p = str(tmp_path / f"img{i}.jpg")
+        _write_jpg(p, h=40, w=40, seed=i)
+        files.append(p)
+    it = tfdata_batches(files, image_size=32, batch_size=2, seed=0)
+    batch = next(it)
+    assert batch["image"].shape == (2, 32, 32, 3)
+    assert batch["image"].dtype == np.float32
+    assert 0.0 <= batch["image"].min() and batch["image"].max() <= 1.0

@@ -155,3 +155,19 @@ def test_nan_guard_protects_ema_and_batch_stats():
     good = jnp.full((2, 32, 32, 3), 0.5, jnp.float32)
     s2, m = step(s1, {"image": good}, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss/total"]))
+
+
+def test_loss_zero_for_exact_reconstruction():
+    """Identical recon/target -> every raw loss term is ~0 (SURVEY.md §4)."""
+    from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+
+    for source in ("pixel", "random_vgg"):
+        weights = (1, 1, 1) if source == "pixel" else (1, 1, 1, 1, 1)
+        loss_fn = ReconstructionLoss(
+            PerceptualLossConfig(feature_source=source, weights=weights)
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        total, _, metrics = loss_fn(x, x, loss_fn.init_ema(), 1)
+        assert float(total) < 1e-6
+        for v in metrics.values():
+            assert float(v) < 1e-6
