@@ -62,3 +62,25 @@ def test_viz_utilities():
 
     grid = image_grid(np.ones((5, 4, 4, 3)), n_cols=2)
     assert grid.shape == (3 * 4, 2 * 4, 3)
+
+
+def test_temporal_experiment_path(tmp_path):
+    """Synthetic video-style pairs through the temporal train path (the
+    Human3.6M structure, driver config 4) end-to-end on CPU."""
+    import dataclasses
+
+    from imm_tpu.configs import get_preset
+    from imm_tpu.experiment import build_experiment
+
+    base = get_preset("tiny_cpu")
+    cfg = dataclasses.replace(
+        base,
+        pair=dataclasses.replace(base.pair, enable_warp=False),
+        data=dataclasses.replace(base.data, pair_mode="temporal", eval_norm="size"),
+    )
+    exp = build_experiment(cfg, total_steps=3)
+    state = exp.run()
+    assert int(state.step) == 3
+    assert np.isfinite(exp.trainer.history[-1]["loss/total"])
+    results = exp.eval_fn(state)
+    assert np.isfinite(results["landmark_error_test_pct"])
