@@ -70,9 +70,13 @@ def build_experiment(
         while config.train.batch_size % n_dev:
             n_dev -= 1
         mesh = make_mesh(n_dev)
+    model_config = config.model
+    if mesh.size > 1 and model_config.norm == "batch":
+        # shard_map DP: BatchNorm must pmean across the data axis explicitly
+        model_config = dataclasses.replace(model_config, axis_name="data")
     loss_fn = ReconstructionLoss(config.loss)
     model, state = create_train_state(
-        jax.random.PRNGKey(config.train.seed), config.model, config.train,
+        jax.random.PRNGKey(config.train.seed), model_config, config.train,
         loss_fn.n_terms,
     )
     state = replicate(state, mesh)
@@ -83,7 +87,8 @@ def build_experiment(
 
     pair_mode = config.data.pair_mode
     step_fn = make_train_step(
-        model, loss_fn, config.train, pair, pair_mode, scan_steps=scan
+        model, loss_fn, config.train, pair, pair_mode, scan_steps=scan,
+        mesh=mesh,
     )
     b_shard = batch_sharding(mesh)
 
@@ -91,47 +96,26 @@ def build_experiment(
     if config.data.source == "synthetic":
         faces = SyntheticBlobFaces(image_size=config.model.image_size)
 
-        # On-device generation, output sharded over the mesh: one jitted
-        # program produces the (scan, B, ...) super-batch already laid out
-        # for the data-parallel step — zero host bytes per step.
+        # Fully on-device step: generation lives INSIDE the (shard_map'd)
+        # jitted program — each shard synthesizes its slice of the batch from
+        # a fold_in'd key. Zero host bytes, zero cross-chip data movement.
+        from imm_tpu.train.steps import make_synthetic_train_step
+
         if pair_mode == "tps":
 
-            def gen(rng):
-                ks = jax.random.split(rng, scan)
-                return {
-                    "image": jnp.stack(
-                        [faces.sample(k, batch)["image"] for k in ks]
-                    ) if scan > 1 else faces.sample(ks[0], batch)["image"]
-                }
+            def sample_batch(rng, b=batch):
+                return {"image": faces.sample(rng, b)["image"]}
         else:
 
-            def gen(rng):
-                ks = jax.random.split(rng, scan)
-                outs = [faces.sample_pair(k, batch) for k in ks]
-                stack = (lambda key: jnp.stack([o[key] for o in outs])
-                         if scan > 1 else outs[0][key])
-                return {"image_a": stack("image_a"), "image_b": stack("image_b")}
+            def sample_batch(rng, b=batch):
+                out = faces.sample_pair(rng, b)
+                return {"image_a": out["image_a"], "image_b": out["image_b"]}
 
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        axes = ("scan", "data") if scan > 1 else ("data",)
-        out_spec = NamedSharding(
-            mesh, P(*(None,) * (len(axes) - 1), "data")
+        step_fn = make_synthetic_train_step(
+            model, loss_fn, config.train, pair, sample_batch,
+            pair_mode=pair_mode, scan_steps=scan, mesh=mesh,
         )
-        gen_jit = jax.jit(gen, out_shardings=out_spec)
-
-        class _DeviceBatches:
-            def __init__(self, seed):
-                self.rng = jax.random.PRNGKey(seed ^ 0x5EED)
-
-            def __iter__(self):
-                return self
-
-            def __next__(self):
-                self.rng, k = jax.random.split(self.rng)
-                return gen_jit(k)
-
-        batches = _DeviceBatches(config.train.seed)
+        batches = None
 
         def eval_builder():
             n = config.eval_samples

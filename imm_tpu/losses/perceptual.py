@@ -129,14 +129,21 @@ class ReconstructionLoss:
         target: jnp.ndarray,
         ema: jnp.ndarray,
         step: jnp.ndarray | int = 1,
+        axis_name: str | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, dict[str, jnp.ndarray]]:
         """-> (total_loss, new_ema, per-term metrics).
 
         ``step`` lets the first optimization step seed the EMA from the live
         terms instead of the ones-init, so early gradient scales are sane.
+        ``axis_name``: under shard_map, pmean the raw terms across the data
+        axis so the loss (and the EMA it feeds) is the *global* batch mean —
+        gradients of this pmean'd objective are already the per-shard
+        contributions to the global gradient.
         """
         terms = self._raw_terms(recon, target)
         raw = jnp.stack(terms)
+        if axis_name is not None:
+            raw = jax.lax.pmean(raw, axis_name)
         ema = jnp.where(step == 0, jax.lax.stop_gradient(raw), ema)
         norm = jax.lax.stop_gradient(ema) + 1e-8
         weights = jnp.asarray(self.config.weights[: self.n_terms], jnp.float32)

@@ -40,6 +40,9 @@ class IMMConfig:
     norm: str = "batch"
     compute_dtype: str = "float32"  # 'bfloat16' for TPU training
     bottleneck_impl: str = "auto"  # 'xla' | 'pallas' | 'auto'
+    # Set to the mesh data-axis name (e.g. 'data') when the train step runs
+    # under shard_map so BatchNorm pmeans statistics across shards.
+    axis_name: str | None = None
 
     def __post_init__(self):
         h = self.bottleneck_hw[0]
@@ -82,13 +85,15 @@ class IMM(nn.Module):
     def setup(self):
         c = self.config
         self.content_encoder = ContentEncoder(
-            c.filters, c.strides, c.norm, c.dtype, name="content_encoder"
+            c.filters, c.strides, c.norm, c.dtype, c.axis_name,
+            name="content_encoder",
         )
         self.pose_encoder = PoseEncoder(
-            c.n_landmarks, c.filters, c.strides, c.norm, c.dtype, name="pose_encoder"
+            c.n_landmarks, c.filters, c.strides, c.norm, c.dtype, c.axis_name,
+            name="pose_encoder",
         )
         self.decoder = Decoder(
-            c.decoder_filters, 3, c.norm, c.dtype, name="decoder"
+            c.decoder_filters, 3, c.norm, c.dtype, c.axis_name, name="decoder"
         )
 
     def _bottleneck(self, heatmaps):

@@ -27,13 +27,19 @@ import jax.numpy as jnp
 
 
 class ConvBlock(nn.Module):
-    """Conv -> norm -> ReLU."""
+    """Conv -> norm -> ReLU.
+
+    ``axis_name``: when the step runs under ``shard_map``, BatchNorm must
+    pmean its statistics across the data axis explicitly (under plain pjit
+    the global batch mean emerges from sharding propagation instead).
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -52,6 +58,7 @@ class ConvBlock(nn.Module):
                 momentum=0.9,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
+                axis_name=self.axis_name,
             )(x)
         elif self.norm == "group":
             x = nn.GroupNorm(
@@ -72,13 +79,14 @@ class EncoderTrunk(nn.Module):
     first_kernel: int = 7
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
         for i, (f, s) in enumerate(zip(self.filters, self.strides)):
             k = self.first_kernel if i == 0 else 3
-            x = ConvBlock(f, k, s, self.norm, self.dtype)(x, train)
+            x = ConvBlock(f, k, s, self.norm, self.dtype, self.axis_name)(x, train)
         return x
 
 
@@ -89,11 +97,13 @@ class ContentEncoder(nn.Module):
     strides: Sequence[int] = (1, 1, 2, 1, 2, 1, 2, 1)
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         return EncoderTrunk(
-            self.filters, self.strides, 7, self.norm, self.dtype, name="trunk"
+            self.filters, self.strides, 7, self.norm, self.dtype,
+            self.axis_name, name="trunk",
         )(x, train)
 
 
@@ -105,11 +115,13 @@ class PoseEncoder(nn.Module):
     strides: Sequence[int] = (1, 1, 2, 1, 2, 1, 2, 1)
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = EncoderTrunk(
-            self.filters, self.strides, 7, self.norm, self.dtype, name="trunk"
+            self.filters, self.strides, 7, self.norm, self.dtype,
+            self.axis_name, name="trunk",
         )(x, train)
         # 1x1 heatmap head; raw activations feed the spatial softmax.
         return nn.Conv(
@@ -140,13 +152,14 @@ class Decoder(nn.Module):
     out_channels: int = 3
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
         for i, f in enumerate(self.filters):
-            x = ConvBlock(f, 3, 1, self.norm, self.dtype)(x, train)
-            x = ConvBlock(f, 3, 1, self.norm, self.dtype)(x, train)
+            x = ConvBlock(f, 3, 1, self.norm, self.dtype, self.axis_name)(x, train)
+            x = ConvBlock(f, 3, 1, self.norm, self.dtype, self.axis_name)(x, train)
             if i < len(self.filters) - 1:
                 x = _upsample2x(x)
         # Linear output head; images live in [0, 1], loss sees raw values.

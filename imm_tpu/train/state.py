@@ -88,7 +88,9 @@ def create_train_state(
     dummy = jnp.zeros((1, s, s, 3), jnp.float32)
     # jit the init: one compiled program instead of hundreds of eager ops
     # (each eager dispatch costs ~30 ms through the axon-tunneled chip).
-    variables = jax.jit(lambda r: model.init(r, dummy, dummy, train=True))(rng)
+    # train=False: creates the same params + batch_stats, but keeps BatchNorm
+    # off its axis_name pmean path, which would need a bound mesh axis here.
+    variables = jax.jit(lambda r: model.init(r, dummy, dummy, train=False))(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     optimizer = make_optimizer(train_config)

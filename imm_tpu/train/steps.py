@@ -40,8 +40,16 @@ def _single_step(
     source: jnp.ndarray,
     target: jnp.ndarray,
     nan_guard: bool = False,
+    axis_name: str | None = None,
 ) -> tuple[TrainState, Metrics]:
-    """One optimizer update given an already-synthesized (source, target)."""
+    """One optimizer update given an already-synthesized (source, target).
+
+    ``axis_name``: set when running under shard_map — the loss pmeans its
+    raw terms (global-batch objective), BatchNorm pmeans its statistics
+    (model config must carry the same axis name), and the local gradients
+    are pmean'd into the global gradient, so the optimizer update is
+    identical on every shard.
+    """
 
     def objective(params):
         variables = {"params": params}
@@ -51,7 +59,7 @@ def _single_step(
             variables, source, target, train=True, mutable=["batch_stats"]
         )
         total, new_ema, metrics = loss_fn(
-            out.recon, target, state.loss_ema, state.step
+            out.recon, target, state.loss_ema, state.step, axis_name
         )
         new_stats = mutated.get("batch_stats", state.batch_stats)
         return total, (new_stats, new_ema, metrics)
@@ -59,6 +67,13 @@ def _single_step(
     (loss, (new_stats, new_ema, metrics)), grads = jax.value_and_grad(
         objective, has_aux=True
     )(state.params)
+    if axis_name is not None:
+        # The global objective is the pmean of per-shard batch means; with
+        # shard_map's pmean transpose each shard's grad comes out as its FULL
+        # local-batch gradient (verified empirically on this JAX version), so
+        # pmean-ing grads across the data axis yields the global-batch
+        # gradient — the ICI all-reduce of the reference's tower trainer.
+        grads = jax.lax.pmean(grads, axis_name)
     metrics = dict(metrics)
     grad_sq = jax.tree.reduce(
         lambda a, b: a + b, jax.tree.map(lambda g: jnp.sum(g * g), grads)
@@ -98,11 +113,21 @@ def make_train_step(
     pair_mode: str = "tps",
     scan_steps: int = 1,
     donate: bool = True,
+    mesh=None,
 ) -> Callable[[TrainState, dict[str, Any], jax.Array], tuple[TrainState, Metrics]]:
     """Host-fed step. ``batch`` keys: 'image' (tps) or 'image_a'/'image_b'
     (temporal). With ``scan_steps > 1`` every batch leaf has an extra leading
-    scan axis and the returned metrics are scan-averaged."""
+    scan axis and the returned metrics are scan-averaged.
+
+    ``mesh``: when given (size > 1), the step runs under ``shard_map`` over
+    the mesh's 'data' axis — this is what makes the Pallas kernels inside
+    partition per-shard instead of being replicated by the SPMD partitioner
+    (which cannot see into a pallas_call), and it is the explicit form of
+    the reference's tower DP. The model config must then carry
+    ``axis_name='data'``.
+    """
     optimizer = make_optimizer(train_config)
+    axis = "data" if (mesh is not None and mesh.size > 1) else None
 
     def synth(rng, batch):
         if pair_mode == "tps":
@@ -116,22 +141,37 @@ def make_train_step(
         return _single_step(
             model, loss_fn, optimizer, state, source, target,
             nan_guard=train_config.skip_nonfinite_updates,
+            axis_name=axis,
         )
 
-    if scan_steps == 1:
-        step_fn = one
+    def core(state, batch, rng):
+        if axis is not None:
+            # distinct augmentation/data randomness per shard
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        if scan_steps == 1:
+            return one(state, batch, rng)
+        rngs = jax.random.split(rng, scan_steps)
+
+        def body(carry, xs):
+            sub_batch, sub_rng = xs
+            return one(carry, sub_batch, sub_rng)
+
+        state, metrics = jax.lax.scan(body, state, (batch, rngs))
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    if axis is None:
+        step_fn = core
     else:
+        from jax.sharding import PartitionSpec as P
 
-        def step_fn(state, batch, rng):
-            rngs = jax.random.split(rng, scan_steps)
-
-            def body(carry, xs):
-                sub_batch, sub_rng = xs
-                new_state, metrics = one(carry, sub_batch, sub_rng)
-                return new_state, metrics
-
-            state, metrics = jax.lax.scan(body, state, (batch, rngs))
-            return state, jax.tree.map(jnp.mean, metrics)
+        batch_spec = P(None, "data") if scan_steps > 1 else P("data")
+        step_fn = jax.shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(P(), batch_spec, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -141,22 +181,34 @@ def make_synthetic_train_step(
     loss_fn: ReconstructionLoss,
     train_config: TrainConfig,
     pair_synth: PairSynthesizer,
-    sample_batch: Callable[[jax.Array], dict[str, jnp.ndarray]],
+    sample_batch: Callable[..., dict[str, jnp.ndarray]],
     pair_mode: str = "tps",
     scan_steps: int = 1,
     donate: bool = True,
+    mesh=None,
 ):
     """Fully on-device step: data generation lives inside the jitted program.
 
     ``sample_batch(rng)`` must be a pure function returning {'image': ...} or
     {'image_a', 'image_b'}; with ``scan_steps > 1`` the whole
     generate/synthesize/update pipeline scans on device.
+
+    ``mesh`` (size > 1): the step runs under shard_map and ``sample_batch``
+    must accept ``(rng, local_batch)`` so each shard generates its slice of
+    the global batch from a fold_in'd key — data generation itself scales
+    with the slice, zero host bytes, zero cross-chip data movement.
     """
     optimizer = make_optimizer(train_config)
+    axis = "data" if (mesh is not None and mesh.size > 1) else None
+    local_batch = (
+        train_config.batch_size // mesh.size if axis else train_config.batch_size
+    )
 
     def one(state, rng):
         k_data, k_pair = jax.random.split(rng)
-        batch = sample_batch(k_data)
+        batch = (
+            sample_batch(k_data, local_batch) if axis else sample_batch(k_data)
+        )
         if pair_mode == "tps":
             source, target = pair_synth(k_pair, batch["image"])
         else:
@@ -166,14 +218,30 @@ def make_synthetic_train_step(
         return _single_step(
             model, loss_fn, optimizer, state, source, target,
             nan_guard=train_config.skip_nonfinite_updates,
+            axis_name=axis,
         )
 
-    def step_fn(state, rng):
+    def core(state, rng):
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         if scan_steps == 1:
             return one(state, rng)
         rngs = jax.random.split(rng, scan_steps)
         state, metrics = jax.lax.scan(lambda c, r: one(c, r), state, rngs)
         return state, jax.tree.map(jnp.mean, metrics)
+
+    if axis is None:
+        step_fn = core
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        step_fn = jax.shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
