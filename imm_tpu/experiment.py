@@ -86,10 +86,6 @@ def build_experiment(
     steps = total_steps if total_steps is not None else config.train.total_steps
 
     pair_mode = config.data.pair_mode
-    step_fn = make_train_step(
-        model, loss_fn, config.train, pair, pair_mode, scan_steps=scan,
-        mesh=mesh,
-    )
     b_shard = batch_sharding(mesh)
 
     eval_builder = None
@@ -125,6 +121,10 @@ def build_experiment(
             return train_split, test_split
 
     else:
+        step_fn = make_train_step(
+            model, loss_fn, config.train, pair, pair_mode, scan_steps=scan,
+            mesh=mesh,
+        )
         dataset = get_dataset(
             config.data.source,
             config.data.root,

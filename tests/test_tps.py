@@ -120,3 +120,21 @@ def test_warp_is_differentiable():
 
     g = jax.grad(loss)(jnp.full((2, 16, 2), 0.01))
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_color_jitter_properties():
+    from imm_tpu.ops import color_jitter
+
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    out = color_jitter(rng, imgs)
+    assert out.shape == imgs.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # jitter actually changes the image
+    assert float(jnp.abs(out - imgs).max()) > 1e-3
+    # per-sample randomness: two samples get different transforms
+    delta = out - imgs
+    assert float(jnp.abs(delta[0].mean() - delta[1].mean())) > 1e-4
+    # zero-strength jitter is the identity (up to clipping)
+    same = color_jitter(rng, imgs, brightness=0.0, contrast=0.0, channel_gain=0.0)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(imgs), atol=1e-6)
