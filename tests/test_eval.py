@@ -66,3 +66,30 @@ def test_chance_level_vs_informative():
     const = jnp.broadcast_to(jnp.mean(gt, axis=0, keepdims=True), gt.shape)
     chance = landmark_error(const, gt, norm="size")
     assert float(informative) < 0.5 * float(chance)
+
+
+def test_export_roundtrip(tmp_path):
+    """Serialized StableHLO landmark detector returns identical coords."""
+    from imm_tpu.eval.export import (
+        landmark_fn,
+        load_landmarker_file,
+        save_landmarker,
+    )
+    from imm_tpu.models import IMMConfig
+    from imm_tpu.models.imm import init_model
+
+    cfg = IMMConfig(
+        image_size=32, n_landmarks=4, filters=(8, 8, 16, 16),
+        strides=(1, 2, 1, 2), decoder_filters=(16, 8, 8),
+    )
+    model, variables = init_model(jax.random.PRNGKey(0), cfg)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    path = str(tmp_path / "landmarker.stablehlo")
+    save_landmarker(path, model, params, stats, batch=2, image_size=32)
+
+    served = load_landmarker_file(path)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    got = served(x)
+    want = landmark_fn(model, params, stats)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
