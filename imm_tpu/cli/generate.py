@@ -42,7 +42,7 @@ def main(argv=None):
     from imm_tpu.eval import pose_swap
     from imm_tpu.experiment import build_experiment
 
-    exp = build_experiment(config, total_steps=0)
+    exp = build_experiment(config, total_steps=0, inference_only=True)
     state = exp.trainer.restore_or_init()
     s = config.model.image_size
 

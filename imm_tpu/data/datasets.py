@@ -44,13 +44,20 @@ class DatasetSpec:
     pair_mode: str  # 'tps' (static images) or 'temporal' (video)
 
 
-def _load_image(path: str, image_size: int, crop: tuple[int, int, int, int] | None):
-    """Decode -> optional (y0, x0, h, w) crop -> center square -> resize -> [0,1]."""
+def _load_image_with_hw(
+    path: str, image_size: int, crop: tuple[int, int, int, int] | None
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode -> optional (y0, x0, h, w) crop -> center square -> resize.
+
+    Returns (image in [0,1], original (H, W) before any cropping) from a
+    SINGLE decode — eval needs the original size for landmark normalization.
+    """
     if cv2 is None:  # pragma: no cover
         raise RuntimeError("OpenCV is required for file-backed datasets")
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(f"could not decode image: {path}")
+    orig_hw = img.shape[:2]
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if crop is not None:
         y0, x0, ch, cw = crop
@@ -60,7 +67,11 @@ def _load_image(path: str, image_size: int, crop: tuple[int, int, int, int] | No
     y0, x0 = (h - side) // 2, (w - side) // 2
     img = img[y0 : y0 + side, x0 : x0 + side]
     img = cv2.resize(img, (image_size, image_size), interpolation=cv2.INTER_LINEAR)
-    return img.astype(np.float32) / 255.0
+    return img.astype(np.float32) / 255.0, orig_hw
+
+
+def _load_image(path: str, image_size: int, crop: tuple[int, int, int, int] | None):
+    return _load_image_with_hw(path, image_size, crop)[0]
 
 
 def _normalize_landmarks_xy(
@@ -102,10 +113,13 @@ class _PrefetchIterator:
 
     def _run(self, make_batch):
         i = 0
-        while self._n is None or i < self._n:
-            self._q.put(make_batch(i))
-            i += 1
-        self._q.put(None)
+        try:
+            while self._n is None or i < self._n:
+                self._q.put(make_batch(i))
+                i += 1
+            self._q.put(None)
+        except BaseException as e:  # surface producer failures to the consumer
+            self._q.put(e)
 
     def __iter__(self):
         return self
@@ -114,6 +128,8 @@ class _PrefetchIterator:
         item = self._q.get()
         if item is None:
             raise StopIteration
+        if isinstance(item, BaseException):
+            raise RuntimeError("data pipeline producer failed") from item
         return item
 
 
@@ -135,8 +151,8 @@ class ImageDataset:
     def _train_files(self) -> list[str]:
         raise NotImplementedError
 
-    def _eval_records(self, split: str) -> list[tuple[str, np.ndarray, tuple[int, int]]]:
-        """-> [(path, landmarks_xy, orig_hw)] for an annotated split."""
+    def _eval_records(self, split: str) -> list[tuple[str, np.ndarray]]:
+        """-> [(path, landmarks_xy_pixels)] for an annotated split."""
         raise NotImplementedError
 
     def _crop(self) -> tuple[int, int, int, int] | None:
@@ -150,16 +166,17 @@ class ImageDataset:
         if not files:
             raise RuntimeError(f"no training images under {self.root}")
         rng = np.random.default_rng(seed)
-        order = rng.permutation(len(files))
         crop = self._crop()
+        # epoch cursor: reshuffle whenever fewer than a batch remains, so
+        # every epoch sees a fresh order and no sample is skipped/duplicated
+        state = {"order": rng.permutation(len(files)), "pos": 0}
 
-        def make_batch(i):
-            nonlocal order
-            start = (i * batch_size) % len(files)
-            if start + batch_size > len(files):
-                order = rng.permutation(len(files))
-                start = 0
-            idx = order[start : start + batch_size]
+        def make_batch(_):
+            if state["pos"] + batch_size > len(files):
+                state["order"] = rng.permutation(len(files))
+                state["pos"] = 0
+            idx = state["order"][state["pos"] : state["pos"] + batch_size]
+            state["pos"] += batch_size
             imgs = np.stack(
                 [_load_image(files[j], self.image_size, crop) for j in idx]
             )
@@ -172,8 +189,9 @@ class ImageDataset:
         records = self._eval_records(split)
         crop = self._crop()
         images, landmarks = [], []
-        for path, pts_xy, orig_hw in records:
-            images.append(_load_image(path, self.image_size, crop))
+        for path, pts_xy in records:
+            img, orig_hw = _load_image_with_hw(path, self.image_size, crop)
+            images.append(img)
             landmarks.append(_normalize_landmarks_xy(pts_xy, orig_hw, crop))
         return {
             "image": np.stack(images),
@@ -220,9 +238,6 @@ class CelebADataset(ImageDataset):
                 ).reshape(5, 2)
         return out
 
-    # CelebA aligned images are 178x218; the face occupies the center.
-    _ORIG_HW = (218, 178)
-
     def _train_files(self):
         mafl_test = set(self._mafl["test"])
         return [
@@ -232,17 +247,11 @@ class CelebADataset(ImageDataset):
         ]
 
     def _eval_records(self, split):
-        recs = []
-        for name in self._mafl[split]:
-            if name in self._landmarks:
-                recs.append(
-                    (
-                        os.path.join(self._img_dir, name),
-                        self._landmarks[name],
-                        self._ORIG_HW,
-                    )
-                )
-        return recs
+        return [
+            (os.path.join(self._img_dir, name), self._landmarks[name])
+            for name in self._mafl[split]
+            if name in self._landmarks
+        ]
 
 
 class AFLWDataset(ImageDataset):
@@ -277,13 +286,11 @@ class AFLWDataset(ImageDataset):
         ]
 
     def _eval_records(self, split):
-        recs = []
-        for name, pts in self._read_csv(split):
-            path = os.path.join(self._img_dir, name)
-            if os.path.exists(path):
-                img = cv2.imread(path)
-                recs.append((path, pts, img.shape[:2]))
-        return recs
+        return [
+            (os.path.join(self._img_dir, name), pts)
+            for name, pts in self._read_csv(split)
+            if os.path.exists(os.path.join(self._img_dir, name))
+        ]
 
 
 class CatHeadsDataset(ImageDataset):
@@ -328,9 +335,7 @@ class CatHeadsDataset(ImageDataset):
                 vals = [float(v) for v in f.read().split()]
             n = int(vals[0])
             pts = np.array(vals[1 : 1 + 2 * n], np.float32).reshape(n, 2)
-            pts = pts[: self.eval_points]
-            img = cv2.imread(img_path)
-            recs.append((img_path, pts, img.shape[:2]))
+            recs.append((img_path, pts[: self.eval_points]))
         return recs
 
 
@@ -404,8 +409,7 @@ class Human36MDataset(ImageDataset):
             if lms is None:
                 continue
             for i, path in enumerate(frames):
-                img = cv2.imread(path)
-                recs.append((path, lms[i].astype(np.float32), img.shape[:2]))
+                recs.append((path, lms[i].astype(np.float32)))
         return recs
 
 

@@ -85,7 +85,9 @@ def sweep_coords(coords_fn, params, batch_stats, images, batch_size: int = 256):
         chunk = images[start : start + batch_size]
         pad = batch_size - chunk.shape[0]
         if pad > 0:  # keep shapes static so one compiled program serves all
-            chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])], axis=0)
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)], axis=0
+            )
         c = coords_fn(params, batch_stats, jnp.asarray(chunk))
         outs.append(np.asarray(c[: batch_size - pad if pad > 0 else batch_size]))
     return np.concatenate(outs, axis=0)

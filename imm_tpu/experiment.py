@@ -51,9 +51,11 @@ class Experiment:
     batches: Iterator[dict] | None
     eval_fn: Any  # (state) -> dict[str, float] | None
     trainer: Trainer
+    restore: bool = True
 
     def run(self) -> TrainState:
-        self.trainer.restore_or_init()
+        if self.restore:
+            self.trainer.restore_or_init()
         self.state = self.trainer.run()
         return self.state
 
@@ -63,7 +65,15 @@ def build_experiment(
     mesh=None,
     total_steps: int | None = None,
     restore: bool = True,
+    inference_only: bool = False,
 ) -> Experiment:
+    """Wire a full experiment from config.
+
+    ``restore=False`` starts fresh even if the workdir has checkpoints.
+    ``inference_only=True`` skips the data pipeline / train step / eval
+    wiring entirely — for loading a checkpoint to run generation (the swap
+    CLI works offline without the training dataset on disk).
+    """
     if mesh is None:
         # the data axis must divide the batch: use the largest such device count
         n_dev = len(jax.devices())
@@ -89,6 +99,16 @@ def build_experiment(
     b_shard = batch_sharding(mesh)
 
     eval_builder = None
+    if inference_only:
+        trainer = Trainer(
+            None, state, total_steps=0, batch_size=batch,
+            options=TrainerOptions(workdir=config.workdir or None),
+        )
+        return Experiment(
+            config=config, mesh=mesh, model=model, state=state,
+            loss_fn=loss_fn, step_fn=None, batches=None, eval_fn=None,
+            trainer=trainer, restore=restore,
+        )
     if config.data.source == "synthetic":
         faces = SyntheticBlobFaces(image_size=config.model.image_size)
 
@@ -156,6 +176,8 @@ def build_experiment(
 
     # Periodic image panels (the reference's TensorBoard summaries): a fixed
     # small batch through pair synthesis + the model in eval mode.
+    _viz_cache: list = []
+
     def viz_fn(state):
         import numpy as np
 
@@ -166,10 +188,12 @@ def build_experiment(
             faces = SyntheticBlobFaces(image_size=config.model.image_size)
             viz_images = faces.sample(k, 4)["image"]
         else:
-            leaf = next(iter(batches))["image"]
-            if scan > 1:  # strip the lax.scan super-batch axis
-                leaf = leaf[0]
-            viz_images = jnp.asarray(leaf[:4])
+            if not _viz_cache:  # consume ONE training batch, once, and reuse
+                leaf = next(iter(batches))["image"]
+                if scan > 1:  # strip the lax.scan super-batch axis
+                    leaf = leaf[0]
+                _viz_cache.append(jnp.asarray(leaf[:4]))
+            viz_images = _viz_cache[0]
 
         @jax.jit
         def fwd(params, batch_stats, images):
@@ -226,4 +250,5 @@ def build_experiment(
         batches=batches,
         eval_fn=eval_fn,
         trainer=trainer,
+        restore=restore,
     )

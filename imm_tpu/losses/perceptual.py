@@ -155,5 +155,7 @@ class ReconstructionLoss:
             if self.source != "pixel"
             else [f"pixel_s{i}" for i in range(self.n_terms)]
         )
-        metrics = {f"loss/{n}": t for n, t in zip(names, terms)}
+        # report from `raw` (pmean'd under shard_map) so logged per-term
+        # losses are global-batch values, consistent with loss/total
+        metrics = {f"loss/{n}": raw[i] for i, n in enumerate(names)}
         return total, new_ema, metrics

@@ -82,9 +82,11 @@ def _warp_pallas_fwd(images, grid):
     b, h, w, c = images.shape
     _, ho, wo, _ = grid.shape
     q = ho * wo
+    # largest divisor of q not exceeding _CHUNK (q=Ho*Wo always has one;
+    # non-128-multiple chunks still run, just with padded lane tiles)
     chunk = min(_CHUNK, q)
-    if q % chunk:
-        raise ValueError(f"Ho*Wo must be a multiple of {chunk}")
+    while q % chunk:
+        chunk -= 1
     grid = grid.astype(jnp.float32)
     # singleton dims keep every BlockSpec's trailing-2 dims equal to the
     # array dims (Mosaic's block-shape divisibility rule)

@@ -22,14 +22,21 @@ import jax
 
 
 def initialize_multihost(**kwargs) -> None:
-    """``jax.distributed.initialize`` with env-based defaults; no-op if the
-    process group is already up or the env describes a single process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """``jax.distributed.initialize`` with env-based defaults.
+
+    Must run before any other JAX call touches a backend (including
+    ``jax.process_count()`` — querying it would initialize local-only
+    backends and make the real initialize fail). Safe to call twice and in
+    single-process environments.
+    """
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process environment (no coordinator configured) — fine
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # process group already up
+        raise
+    except ValueError:
+        # no coordinator configured in the environment: single process
         pass
 
 

@@ -47,3 +47,26 @@ def test_override_via_cli(tmp_path):
         ]
     )
     assert int(state.step) == 1
+
+
+def test_generate_swap_preset_works_without_dataset(tmp_path):
+    """Driver config 5 (the README quick-start line): pose-swap generation
+    must not require the CelebA tree on disk (inference-only wiring)."""
+    from imm_tpu.cli.generate import main
+
+    out_path = str(tmp_path / "sw.npy")
+    out = main(
+        [
+            "--preset", "swap",
+            "--n", "1",
+            "--out", out_path,
+            # shrink the model so the smoke test stays fast on CPU
+            "model.image_size=32",
+            "model.filters=[8,8,16,16]",
+            "model.strides=[1,2,1,2]",
+            "model.decoder_filters=[16,8,8]",
+            "model.n_landmarks=4",
+            "model.compute_dtype=float32",
+        ]
+    )
+    assert out.shape == (1, 32, 32, 3)
