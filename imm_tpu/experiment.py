@@ -4,11 +4,11 @@ The one place that knows how the pieces compose (the reference's
 ``scripts/train.py`` body, SURVEY.md §3.1, minus the tower plumbing). Used by
 the CLI entry points, ``bench.py`` and ``__graft_entry__.py``.
 
-Device placement: the experiment takes a ``Mesh`` (default: all visible
-devices on a 1-D 'data' axis). State is replicated, batches are sharded on
-the batch axis, and for the on-device synthetic source the *generator itself*
-is jitted with a sharded output layout so sample synthesis is partitioned
-across the slice instead of replicated-then-scattered.
+Device placement: the experiment takes a ``Mesh`` (default: the largest
+visible-device count dividing the batch, on a 1-D 'data' axis). On meshes
+larger than one device the train step runs under ``jax.shard_map`` (see
+``train/steps.py``); the synthetic source generates each shard's slice of
+the batch inside the step, so sample synthesis scales with the slice.
 """
 
 from __future__ import annotations
