@@ -73,3 +73,33 @@ def test_bfloat16_compute():
     assert out.recon.dtype == jnp.float32
     kernel = variables["params"]["content_encoder"]["trunk"]["ConvBlock_0"]["Conv_0"]["kernel"]
     assert kernel.dtype == jnp.float32
+
+
+def test_k30_and_k20_model_variants():
+    """The AFLW (K=30) and cat-heads (K=20) model shapes build and run."""
+    for k in (30, 20):
+        cfg = IMMConfig(
+            image_size=32, n_landmarks=k, filters=(8, 8, 16, 16),
+            strides=(1, 2, 1, 2), decoder_filters=(16, 8, 8),
+        )
+        model, variables = init_model(jax.random.PRNGKey(0), cfg, batch=1)
+        x = jnp.zeros((1, 32, 32, 3))
+        out = model.apply(variables, x, x, train=False)
+        assert out.coords.shape == (1, k, 2)
+        assert out.gauss_maps.shape == (1, 8, 8, k)
+
+
+def test_gauss_mode_variants_through_model():
+    """'flat' and 'ankush' render modes work end to end (bottleneck falls
+    back to the XLA path for non-'rot' modes)."""
+    for mode in ("flat", "ankush"):
+        cfg = IMMConfig(
+            image_size=32, n_landmarks=4, filters=(8, 8, 16, 16),
+            strides=(1, 2, 1, 2), decoder_filters=(16, 8, 8),
+            gauss_mode=mode,
+        )
+        model, variables = init_model(jax.random.PRNGKey(0), cfg, batch=1)
+        x = jnp.full((1, 32, 32, 3), 0.5)
+        out = model.apply(variables, x, x, train=False)
+        assert bool(jnp.all(jnp.isfinite(out.recon)))
+        assert float(out.gauss_maps.max()) <= 1.0 + 1e-5
