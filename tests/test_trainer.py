@@ -84,3 +84,46 @@ def test_temporal_experiment_path(tmp_path):
     assert np.isfinite(exp.trainer.history[-1]["loss/total"])
     results = exp.eval_fn(state)
     assert np.isfinite(results["landmark_error_test_pct"])
+
+
+def test_file_backed_experiment_end_to_end(tmp_path):
+    """CelebA-format fixture -> build_experiment -> train -> eval: the whole
+    file-backed seam (loader, prefetch, stacked scan batches, eval arrays)."""
+    import dataclasses
+
+    from tests.test_data import _make_celeba
+
+    from imm_tpu.configs import get_preset
+    from imm_tpu.experiment import build_experiment
+    from imm_tpu.utils.config import DataConfig
+
+    root = str(tmp_path / "celeba")
+    _make_celeba(root, n=8)
+    base = get_preset("tiny_cpu")
+    cfg = dataclasses.replace(
+        base,
+        train=dataclasses.replace(base.train, batch_size=2, steps_per_call=2),
+        data=DataConfig(source="celeba", root=root, pair_mode="tps"),
+    )
+    exp = build_experiment(cfg, total_steps=4)
+    state = exp.run()
+    assert int(state.step) == 4
+    results = exp.eval_fn(state)
+    assert np.isfinite(results["landmark_error_test_pct"])
+
+
+def test_restore_false_starts_fresh(tmp_path):
+    import dataclasses
+
+    from imm_tpu.configs import get_preset
+    from imm_tpu.experiment import build_experiment
+
+    cfg = dataclasses.replace(get_preset("tiny_cpu"), workdir=str(tmp_path / "w"))
+    exp = build_experiment(cfg, total_steps=4)
+    exp.trainer.options.checkpoint_every = 2
+    exp.run()
+
+    fresh = build_experiment(cfg, total_steps=2, restore=False)
+    state = fresh.run()
+    # started from 0, not from the saved step-4 checkpoint
+    assert int(state.step) == 2
