@@ -27,10 +27,10 @@ BASELINE_TF1_GPU_IMG_PER_SEC = 100.0  # documented estimate, see module docstrin
 
 
 def main():
-    import jax
+    from imm_tpu.cli._common import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache()
+    import jax
 
     from imm_tpu.data import PairConfig, PairSynthesizer, SyntheticBlobFaces
     from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss

@@ -96,7 +96,6 @@ def build_experiment(
     steps = total_steps if total_steps is not None else config.train.total_steps
 
     pair_mode = config.data.pair_mode
-    b_shard = batch_sharding(mesh)
 
     eval_builder = None
     if inference_only:
@@ -133,12 +132,22 @@ def build_experiment(
         )
         batches = None
 
+        # The synthetic eval set is deterministic (fixed keys), so build it
+        # once and cache — re-jitting a fresh lambda per eval would recompile
+        # and regenerate on every eval cycle.
+        _eval_cache: list = []
+
         def eval_builder():
-            n = config.eval_samples
-            sample = jax.jit(lambda r: faces.sample(r, n))
-            train_split = jax.device_get(sample(jax.random.PRNGKey(91)))
-            test_split = jax.device_get(sample(jax.random.PRNGKey(92)))
-            return train_split, test_split
+            if not _eval_cache:
+                n = config.eval_samples
+                sample = jax.jit(lambda r: faces.sample(r, n))
+                _eval_cache.append(
+                    (
+                        jax.device_get(sample(jax.random.PRNGKey(91))),
+                        jax.device_get(sample(jax.random.PRNGKey(92))),
+                    )
+                )
+            return _eval_cache[0]
 
     else:
         step_fn = make_train_step(
@@ -156,6 +165,7 @@ def build_experiment(
         else:
             raw = dataset.train_batches(batch, seed=config.train.seed)
         host_it = _stack_batches(raw, scan) if scan > 1 else raw
+        b_shard = batch_sharding(mesh)
 
         class _HostBatches:
             def __iter__(self):
@@ -175,36 +185,35 @@ def build_experiment(
     coords_fn = make_eval_coords_fn(model)
 
     # Periodic image panels (the reference's TensorBoard summaries): a fixed
-    # small batch through pair synthesis + the model in eval mode.
+    # small batch through pair synthesis + the model in eval mode. The jitted
+    # forward is defined ONCE (a per-call lambda would recompile every viz).
     _viz_cache: list = []
+    _viz_key = jax.random.PRNGKey(1234)
+
+    @jax.jit
+    def _viz_fwd(params, batch_stats, images):
+        src, tgt = pair(_viz_key, images)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, src, tgt, train=False)
+        return src, tgt, out
 
     def viz_fn(state):
-        import numpy as np
-
         from imm_tpu.utils.viz import training_summary_panel
 
-        k = jax.random.PRNGKey(1234)
-        if config.data.source == "synthetic":
-            faces = SyntheticBlobFaces(image_size=config.model.image_size)
-            viz_images = faces.sample(k, 4)["image"]
-        else:
-            if not _viz_cache:  # consume ONE training batch, once, and reuse
+        if not _viz_cache:
+            if config.data.source == "synthetic":
+                viz_faces = SyntheticBlobFaces(image_size=config.model.image_size)
+                _viz_cache.append(viz_faces.sample(_viz_key, 4)["image"])
+            else:  # consume ONE training batch, once, and reuse
                 leaf = next(iter(batches))["image"]
                 if scan > 1:  # strip the lax.scan super-batch axis
                     leaf = leaf[0]
                 _viz_cache.append(jnp.asarray(leaf[:4]))
-            viz_images = _viz_cache[0]
+        viz_images = _viz_cache[0]
 
-        @jax.jit
-        def fwd(params, batch_stats, images):
-            src, tgt = pair(k, images)
-            variables = {"params": params}
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-            out = model.apply(variables, src, tgt, train=False)
-            return src, tgt, out
-
-        src, tgt, out = fwd(state.params, state.batch_stats, viz_images)
+        src, tgt, out = _viz_fwd(state.params, state.batch_stats, viz_images)
         return training_summary_panel(
             np.asarray(src, np.float32),
             np.asarray(tgt, np.float32),

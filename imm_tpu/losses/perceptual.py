@@ -80,10 +80,8 @@ class ReconstructionLoss:
         source, path = config.resolve_source()
         self.source = source
         if source in ("vgg", "random_vgg"):
-            import jax.numpy as _jnp
-
             self._vgg = VGG16Features(
-                taps=config.taps, dtype=_jnp.dtype(config.compute_dtype)
+                taps=config.taps, dtype=jnp.dtype(config.compute_dtype)
             )
             if source == "vgg":
                 self.vgg_params = load_vgg16_params(path)

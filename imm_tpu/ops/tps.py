@@ -183,8 +183,6 @@ def warp_image(
     # Grid stays float32 (see bilinear_sample: bf16 coords quantize ~0.5px).
     grid = tps_sampler_grid(params, out_hw, n_grid).astype(jnp.float32)
     if impl == "auto":
-        import jax
-
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from imm_tpu.ops.warp_pallas import warp_bilinear_pallas

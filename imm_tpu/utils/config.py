@@ -58,13 +58,10 @@ def _from_dict(cls, data: dict) -> Any:
     for key, value in data.items():
         if key not in fields:
             raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
-        f = fields[key]
-        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-            kwargs[key] = _from_dict(f.type, value)
-        elif isinstance(value, dict):
-            # nested dataclass referenced by string annotation
-            sub_cls = _FIELD_TYPES[(cls.__name__, key)]
-            kwargs[key] = _from_dict(sub_cls, value)
+        if isinstance(value, dict):
+            # nested dataclass (annotations are strings under
+            # `from __future__ import annotations`, so resolve via the table)
+            kwargs[key] = _from_dict(_FIELD_TYPES[(cls.__name__, key)], value)
         elif isinstance(value, list):
             kwargs[key] = tuple(
                 tuple(v) if isinstance(v, list) else v for v in value

@@ -7,14 +7,7 @@ import numpy as np
 from imm_tpu.models import IMM, IMMConfig
 from imm_tpu.models.imm import init_model
 
-TINY = IMMConfig(
-    image_size=32,
-    n_landmarks=4,
-    filters=(8, 8, 16, 16),
-    strides=(1, 2, 1, 2),
-    decoder_filters=(16, 8, 8),
-    norm="batch",
-)
+from tests.common import TINY  # noqa: E402
 
 
 def test_forward_shapes():

@@ -12,14 +12,7 @@ from imm_tpu.parallel import make_mesh, replicate, shard_batch
 from imm_tpu.train import TrainConfig, create_train_state
 from imm_tpu.train.steps import make_train_step
 
-TINY = IMMConfig(
-    image_size=32,
-    n_landmarks=4,
-    filters=(8, 8, 16, 16),
-    strides=(1, 2, 1, 2),
-    decoder_filters=(16, 8, 8),
-    norm="batch",  # deliberately: BN means must be GLOBAL under sharding
-)
+from tests.common import TINY  # noqa: E402
 
 
 def _build():

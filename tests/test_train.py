@@ -10,13 +10,7 @@ from imm_tpu.models import IMMConfig
 from imm_tpu.train import TrainConfig, create_train_state
 from imm_tpu.train.steps import make_synthetic_train_step, make_train_step
 
-TINY = IMMConfig(
-    image_size=32,
-    n_landmarks=4,
-    filters=(8, 8, 16, 16),
-    strides=(1, 2, 1, 2),
-    decoder_filters=(16, 8, 8),
-)
+from tests.common import TINY  # noqa: E402
 
 
 def _setup(loss_source="pixel", steps_per_call=1, batch=8):
