@@ -82,3 +82,28 @@ def test_render_gradients_flow_to_coords():
 
     g = jax.grad(loss)(mu)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_bottleneck_warp_equivariance():
+    """Equivariance (SURVEY.md §4): translating the heatmap content moves the
+    soft-argmax coordinates by exactly the translation, and re-rendered
+    Gaussian maps follow. Connects warp -> bottleneck -> render."""
+    from imm_tpu.ops import warp_image
+    from imm_tpu.ops.tps import TPSParams
+
+    # a sharp Gaussian "heatmap image" whose channel peaks at (0.2, -0.4)
+    mu = jnp.asarray([[[0.2, -0.4]]], jnp.float32)
+    maps = render_gaussian_maps(mu, (64, 64), inv_std=8.0)  # (1, 64, 64, 1)
+
+    shift = jnp.asarray([[-0.25, 0.125]], jnp.float32)  # backward-grid offset
+    params = TPSParams(
+        rot=jnp.zeros((1,)),
+        log_scale=jnp.zeros((1,)),
+        trans=shift,
+        cp_delta=jnp.zeros((1, 16, 2)),
+    )
+    warped = warp_image(maps, params)
+    # backward map out(p) = in(p + t): content moves by -t
+    got = marginal_softmax_coords(warped * 100.0)
+    expected = mu[0, 0] - shift[0]
+    np.testing.assert_allclose(np.asarray(got[0, 0]), np.asarray(expected), atol=2e-2)
