@@ -44,6 +44,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         loss=PerceptualLossConfig(),
         data=DataConfig(source="synthetic", pair_mode="tps"),
         eval_every=500,
+        stall_timeout_s=900.0,
     ),
     "celeba_k10": ExperimentConfig(
         name="celeba_k10",
@@ -53,6 +54,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         loss=PerceptualLossConfig(),
         data=DataConfig(source="celeba", pair_mode="tps", eval_norm="iod"),
         eval_every=10_000,
+        stall_timeout_s=900.0,
     ),
     "aflw_k30": ExperimentConfig(
         name="aflw_k30",
@@ -62,6 +64,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         loss=PerceptualLossConfig(),
         data=DataConfig(source="aflw", pair_mode="tps", eval_norm="iod"),
         eval_every=10_000,
+        stall_timeout_s=900.0,
     ),
     "cats_k20": ExperimentConfig(
         name="cats_k20",
@@ -71,6 +74,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         loss=PerceptualLossConfig(),
         data=DataConfig(source="cats", pair_mode="tps", eval_norm="iod"),
         eval_every=10_000,
+        stall_timeout_s=900.0,
     ),
     "human36m": ExperimentConfig(
         name="human36m",
@@ -80,6 +84,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         loss=PerceptualLossConfig(),
         data=DataConfig(source="human36m", pair_mode="temporal", eval_norm="size"),
         eval_every=10_000,
+        stall_timeout_s=900.0,
     ),
     # Config 5 is inference-only: any trained face model serves; kept as a
     # preset so `generate.py --preset swap` has sensible defaults.

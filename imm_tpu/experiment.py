@@ -243,7 +243,10 @@ def build_experiment(
         batch_size=batch,
         steps_per_call=scan,
         batches=batches,
-        options=TrainerOptions(workdir=config.workdir or None),
+        options=TrainerOptions(
+            workdir=config.workdir or None,
+            stall_timeout_s=config.stall_timeout_s,
+        ),
         seed=config.train.seed,
         eval_fn=eval_fn if config.eval_every else None,
         eval_every=config.eval_every,

@@ -34,6 +34,13 @@ class TrainerOptions:
     checkpoint_every: int = 1000
     keep_checkpoints: int = 3
     tensorboard: bool = False
+    # Failure detection (SURVEY.md §5): a wedged device/tunnel blocks the
+    # host loop forever with zero signal (observed on this machine: an RPC
+    # lost mid-run froze training silently for 15+ min). If no step completes
+    # within this many seconds, the watchdog aborts the process so a
+    # supervisor can restart it — training auto-resumes from the latest
+    # Orbax checkpoint. 0 disables.
+    stall_timeout_s: float = 0.0
 
 
 class Trainer:
@@ -72,11 +79,38 @@ class Trainer:
         self.history: list[dict[str, float]] = []
         self._writer = None
         self._ckpt_mgr = None
+        self._last_progress = time.time()
+        self._on_stall = None  # injectable for tests; default aborts
         if options.workdir:
             os.makedirs(options.workdir, exist_ok=True)
             self._init_checkpointing()
             if options.tensorboard:
                 self._init_tensorboard()
+        if options.stall_timeout_s > 0:
+            self._start_watchdog()
+
+    # -- failure detection --------------------------------------------------
+
+    def _start_watchdog(self):
+        import threading
+
+        def watch():
+            timeout = self.options.stall_timeout_s
+            while True:
+                time.sleep(min(timeout / 4, 60.0))
+                idle = time.time() - self._last_progress
+                if idle > timeout:
+                    log.critical(
+                        "no training progress for %.0fs (stall timeout %.0fs)"
+                        " — aborting so a supervisor can restart; training"
+                        " resumes from the latest checkpoint", idle, timeout,
+                    )
+                    if self._on_stall is not None:
+                        self._on_stall()
+                        return
+                    os._exit(42)
+
+        threading.Thread(target=watch, daemon=True).start()
 
     # -- checkpointing ----------------------------------------------------
 
@@ -178,6 +212,7 @@ class Trainer:
             # a donated array.
             self.state = state
             step = int(jax.device_get(state.step))
+            self._last_progress = time.time()  # feed the stall watchdog
             if step >= next_log or step >= self.total_steps:
                 jax.block_until_ready(metrics)
                 dt = time.time() - t_window

@@ -40,6 +40,9 @@ class ExperimentConfig:
     workdir: str = ""
     eval_every: int = 0
     eval_samples: int = 1024
+    # abort (for supervisor restart + checkpoint resume) if no step completes
+    # in this many seconds; 0 disables. See train/loop.py failure detection.
+    stall_timeout_s: float = 0.0
 
 
 def _to_dict(obj: Any) -> Any:

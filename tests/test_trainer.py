@@ -127,3 +127,56 @@ def test_restore_false_starts_fresh(tmp_path):
     state = fresh.run()
     # started from 0, not from the saved step-4 checkpoint
     assert int(state.step) == 2
+
+
+def test_stall_watchdog_fires_and_normal_run_does_not(tmp_path):
+    """Failure detection (SURVEY.md §5): a wedged step trips the watchdog;
+    a healthy run never does."""
+    import threading
+    import time as _time
+
+    from imm_tpu.train.loop import Trainer, TrainerOptions
+
+    # healthy: tiny fast steps, generous timeout -> no stall
+    import dataclasses
+
+    from imm_tpu.configs import get_preset
+    from imm_tpu.experiment import build_experiment
+
+    cfg = dataclasses.replace(get_preset("tiny_cpu"))
+    exp = build_experiment(cfg, total_steps=2)
+    exp.trainer.options.stall_timeout_s = 120.0
+    exp.trainer._start_watchdog()
+    fired = []
+    exp.trainer._on_stall = lambda: fired.append(True)
+    exp.run()
+    assert not fired
+
+    # wedged: a step that never returns trips the watchdog quickly
+    stalled = threading.Event()
+
+    def hung_step(state, rng):
+        stalled.wait(timeout=10.0)  # simulate a lost device RPC
+        raise RuntimeError("unreachable in this test")
+
+    t = Trainer(
+        hung_step, exp.state, total_steps=10_000, batch_size=1,
+        options=TrainerOptions(stall_timeout_s=1.0),
+    )
+    t._on_stall = lambda: (fired.append(True), stalled.set())
+
+    runner = threading.Thread(target=lambda: _swallow(t), daemon=True)
+
+    def _swallow(tr):
+        try:
+            tr.run()
+        except Exception:
+            pass
+
+    runner = threading.Thread(target=lambda: _swallow(t), daemon=True)
+    runner.start()
+    deadline = _time.time() + 15
+    while not fired and _time.time() < deadline:
+        _time.sleep(0.2)
+    stalled.set()
+    assert fired, "watchdog did not fire on a stalled step"
