@@ -15,12 +15,62 @@ from imm_tpu.cli._common import (
 log = logging.getLogger("imm_tpu")
 
 
+def _strip_supervise(argv: list[str]) -> list[str]:
+    """Remove --supervise[=N] (and its value form) from an argv list."""
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--supervise":
+            skip = True
+            continue
+        if a.startswith("--supervise="):
+            continue
+        out.append(a)
+    return out
+
+
+def _supervise(restarts: int, argv=None) -> int:
+    """Run this CLI as a child process, restarting on failure.
+
+    Completes the failure-recovery chain (SURVEY.md §5): the Trainer's stall
+    watchdog aborts a wedged run; this loop relaunches it; Orbax resumes from
+    the latest checkpoint. Requires --workdir so there is something to
+    resume from.
+    """
+    import subprocess
+    import sys
+
+    child_argv = _strip_supervise(list(argv) if argv is not None else sys.argv[1:])
+    cmd = [sys.executable, "-u", "-m", "imm_tpu.cli.train", *child_argv]
+    for attempt in range(restarts + 1):
+        code = subprocess.call(cmd)
+        if code == 0:
+            return 0
+        log.warning(
+            "training exited with code %d (attempt %d/%d) — restarting; "
+            "Orbax resumes from the latest checkpoint",
+            code, attempt + 1, restarts,
+        )
+    return code
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
     parser.add_argument("--steps", type=int, default=None, help="override total steps")
+    parser.add_argument(
+        "--supervise", type=int, default=0, metavar="N",
+        help="restart training up to N times on failure (pairs with the "
+        "stall watchdog + checkpoint auto-resume)",
+    )
     args = parser.parse_args(argv)
     setup_logging()
+    if args.supervise:
+        if not args.workdir:
+            raise SystemExit("--supervise requires --workdir (for resume)")
+        raise SystemExit(_supervise(args.supervise, argv))
     enable_compile_cache()
     config = resolve_config(args)
 

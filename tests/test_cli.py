@@ -70,3 +70,28 @@ def test_generate_swap_preset_works_without_dataset(tmp_path):
         ]
     )
     assert out.shape == (1, 32, 32, 3)
+
+
+def test_supervise_runs_to_completion(tmp_path):
+    """--supervise wraps training in a restart loop; a healthy run exits 0."""
+    import pytest
+
+    from imm_tpu.cli.train import _strip_supervise, main
+
+    assert _strip_supervise(["--supervise", "3", "--steps", "2"]) == ["--steps", "2"]
+    assert _strip_supervise(["--supervise=3", "x"]) == ["x"]
+
+    with pytest.raises(SystemExit) as exc:
+        main(
+            [
+                "--preset", "tiny_cpu",
+                "--steps", "2",
+                "--workdir", str(tmp_path / "sv"),
+                "--supervise", "1",
+                "--platform", "cpu",
+            ]
+        )
+    assert exc.value.code == 0
+
+    with pytest.raises(SystemExit):
+        main(["--preset", "tiny_cpu", "--supervise", "1"])  # no workdir
