@@ -93,3 +93,20 @@ def test_export_roundtrip(tmp_path):
     got = served(x)
     want = landmark_fn(model, params, stats)(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sweep_coords_handles_ragged_tail():
+    """Non-divisible eval sizes: padded tail chunk, exact result count."""
+    from imm_tpu.eval.regression import sweep_coords
+
+    calls = []
+
+    def fake_coords_fn(params, stats, images):
+        calls.append(images.shape)
+        return jnp.zeros((images.shape[0], 3, 2))
+
+    images = np.zeros((10, 8, 8, 3), np.float32)
+    out = sweep_coords(fake_coords_fn, None, {}, images, batch_size=4)
+    assert out.shape == (10, 3, 2)
+    # every chunk padded to the same static shape -> one compiled program
+    assert set(calls) == {(4, 8, 8, 3)}
