@@ -165,7 +165,8 @@ def build_experiment(
         else:
             raw = dataset.train_batches(batch, seed=config.train.seed)
         host_it = _stack_batches(raw, scan) if scan > 1 else raw
-        b_shard = batch_sharding(mesh)
+        # scan super-batches are (scan, batch, ...): shard axis 1, not axis 0
+        b_shard = batch_sharding(mesh, scan_axis=scan > 1)
 
         class _HostBatches:
             def __iter__(self):

@@ -35,9 +35,15 @@ def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis split across the 'data' mesh axis."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, scan_axis: bool = False) -> NamedSharding:
+    """Batch axis split across the 'data' mesh axis.
+
+    ``scan_axis=True``: the array is a ``(scan, batch, ...)`` super-batch
+    (``steps_per_call > 1`` stacking, see ``train/steps.py``) — the *second*
+    axis is the batch; the leading scan axis must stay unsharded, matching
+    the shard_map ``in_specs=P(None, 'data')`` of the scan train step.
+    """
+    return NamedSharding(mesh, P(None, "data") if scan_axis else P("data"))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -78,21 +78,28 @@ def _single_step(
     grad_sq = jax.tree.reduce(
         lambda a, b: a + b, jax.tree.map(lambda g: jnp.sum(g * g), grads)
     )
-    if nan_guard:
-        ok = jnp.isfinite(loss) & jnp.isfinite(grad_sq)
-        grads = jax.tree.map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
-        )
-        # a skipped step must not leak NaNs through the side state either
-        new_ema = jnp.where(ok, new_ema, state.loss_ema)
-        new_stats = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old), new_stats, state.batch_stats
-        )
-        metrics["nonfinite_step"] = 1.0 - ok.astype(jnp.float32)
     updates, new_opt_state = optimizer.update(
         grads, state.opt_state, state.params
     )
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    if nan_guard:
+        # A truly skipped step: gate params AND optimizer state on `ok` —
+        # merely zeroing grads would still move params via decayed Adam
+        # momentum and poison mu/nu with non-finite values.
+        ok = jnp.isfinite(loss) & jnp.isfinite(grad_sq)
+        gate = lambda new, old: jax.tree.map(  # noqa: E731
+            lambda a, b: jnp.where(ok, a, b), new, old
+        )
+        new_params = gate(new_params, state.params)
+        new_opt_state = gate(new_opt_state, state.opt_state)
+        new_ema = jnp.where(ok, new_ema, state.loss_ema)
+        new_stats = gate(new_stats, state.batch_stats)
+        # report guarded values so one bad step can't NaN-poison the
+        # scan-averaged metrics for the whole dispatch window
+        loss = jnp.where(ok, loss, 0.0)
+        grad_sq = jnp.where(ok, grad_sq, 0.0)
+        metrics = {k: jnp.where(ok, v, 0.0) for k, v in metrics.items()}
+        metrics["nonfinite_step"] = 1.0 - ok.astype(jnp.float32)
     metrics["loss/total"] = loss
     metrics["grad_norm"] = grad_sq**0.5
     new_state = TrainState(

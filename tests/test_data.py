@@ -43,10 +43,11 @@ def _make_celeba(root, n=6):
         for name in names:
             f.write(name + " 69 111 108 112 88 134 72 152 105 152\n")
     os.makedirs(os.path.join(root, "MAFL"), exist_ok=True)
+    n_train = 3 * n // 4  # 3:1 split (n=6 -> 4 train / 2 test, as before)
     with open(os.path.join(root, "MAFL", "training.txt"), "w") as f:
-        f.write("\n".join(names[:4]) + "\n")
+        f.write("\n".join(names[:n_train]) + "\n")
     with open(os.path.join(root, "MAFL", "testing.txt"), "w") as f:
-        f.write("\n".join(names[4:]) + "\n")
+        f.write("\n".join(names[n_train:]) + "\n")
 
 
 def test_celeba_loader(tmp_path):

@@ -151,6 +151,52 @@ def test_nan_guard_protects_ema_and_batch_stats():
     assert np.isfinite(float(m["loss/total"]))
 
 
+def test_nan_guard_freezes_params_even_with_live_momentum():
+    """ADVICE r1: zeroed grads still move params via decayed Adam momentum.
+    After a good step (momentum nonzero), a bad step must leave params and
+    optimizer state EXACTLY unchanged, and scan-averaged metrics finite."""
+    import dataclasses
+    from imm_tpu.data import PairConfig, PairSynthesizer
+    from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+    from imm_tpu.train import TrainConfig, create_train_state
+    from imm_tpu.train.steps import make_train_step
+
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1))
+    )
+    tcfg = TrainConfig(
+        batch_size=2, lr_boundaries=(), lr_factors=(1.0,),
+        skip_nonfinite_updates=True,
+    )
+    model, state = create_train_state(jax.random.PRNGKey(0), TINY, tcfg, loss_fn.n_terms)
+    pair = PairSynthesizer(dataclasses.replace(PairConfig(), enable_warp=False, enable_jitter=False))
+    step = make_train_step(model, loss_fn, tcfg, pair, "tps", donate=False)
+
+    good = jnp.full((2, 32, 32, 3), 0.5, jnp.float32)
+    bad = jnp.full((2, 32, 32, 3), jnp.nan, jnp.float32)
+    s1, _ = step(state, {"image": good}, jax.random.PRNGKey(1))  # momentum now nonzero
+    s2, m2 = step(s1, {"image": bad}, jax.random.PRNGKey(2))
+    assert float(m2["nonfinite_step"]) == 1.0
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s1.opt_state), jax.tree.leaves(s2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # guarded metrics: the bad step reports 0, not NaN (protects scan means)
+    assert np.isfinite(float(m2["loss/total"]))
+    assert np.isfinite(float(m2["grad_norm"]))
+
+    # scan window with one poisoned sub-batch: averaged metrics stay finite
+    step_scan = make_train_step(
+        model, loss_fn, tcfg, pair, "tps", scan_steps=2, donate=False
+    )
+    batch = {"image": jnp.stack([good, bad])}
+    s3, m3 = step_scan(s1, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m3["loss/total"]))
+    assert np.isfinite(float(m3["grad_norm"]))
+    assert float(m3["nonfinite_step"]) == 0.5
+    assert bool(jnp.all(jnp.isfinite(jax.tree.leaves(s3.params)[0])))
+
+
 def test_loss_zero_for_exact_reconstruction():
     """Identical recon/target -> every raw loss term is ~0 (SURVEY.md §4)."""
     from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
