@@ -272,9 +272,13 @@ class AFLWDataset(ImageDataset):
         with open(path) as f:
             for ln in f:
                 parts = ln.strip().split(",")
-                if len(parts) != 11 or parts[1].lstrip("-").replace(".", "").isdigit() is False:
+                if len(parts) != 11:
                     continue
-                pts = np.array([float(v) for v in parts[1:]], np.float32).reshape(5, 2)
+                try:  # robust header/junk-row skip: parse, don't pattern-match
+                    vals = [float(v) for v in parts[1:]]
+                except ValueError:
+                    continue
+                pts = np.array(vals, np.float32).reshape(5, 2)
                 recs.append((parts[0], pts))
         return recs
 
@@ -394,9 +398,14 @@ class Human36MDataset(ImageDataset):
             a_list, b_list = [], []
             for _ in range(batch_size):
                 frames, _lm = seqs[rng.integers(len(seqs))]
-                t = int(rng.integers(len(frames)))
-                gap = int(rng.integers(1, self.max_gap + 1))
-                u = min(t + gap, len(frames) - 1)
+                # draw t so at least one later frame exists, and the gap from
+                # what actually fits — clamping u to the sequence end would
+                # yield degenerate a == b pairs near sequence tails and
+                # collapse the gap distribution there (ADVICE r1)
+                t = int(rng.integers(len(frames) - 1))
+                max_gap = min(self.max_gap, len(frames) - 1 - t)
+                gap = int(rng.integers(1, max_gap + 1))
+                u = t + gap
                 a_list.append(_load_image(frames[t], self.image_size, None))
                 b_list.append(_load_image(frames[u], self.image_size, None))
             return {"image_a": np.stack(a_list), "image_b": np.stack(b_list)}

@@ -119,6 +119,12 @@ def load_vgg16_params(path: str) -> Any:
 
     npz keys: ``conv{b}_{i}_kernel`` / ``conv{b}_{i}_bias`` (HWIO kernels) or
     Keras-style ``block{b}_conv{i}`` names. h5: the Keras applications layout.
+
+    Channel convention: this module feeds **RGB** images (``preprocess``).
+    Keras .h5 weights are caffe-lineage (trained on BGR), so conv1_1's
+    input channels are flipped at load time. npz files are assumed to be in
+    this module's RGB convention already (they are our own export format);
+    export BGR-lineage weights to npz with conv1_1 pre-flipped.
     """
     if not os.path.exists(path):
         raise FileNotFoundError(path)
@@ -150,6 +156,13 @@ def load_vgg16_params(path: str) -> Any:
                 grp = grp[layer]
             kernel = np.asarray(grp[[k for k in grp if "kernel" in k][0]])
             bias = np.asarray(grp[[k for k in grp if "bias" in k][0]])
+            if name == "conv1_1":
+                # Keras/caffe-lineage VGG16 was trained on BGR input; this
+                # module feeds RGB (see preprocess()). Flipping conv1_1's
+                # input-channel axis makes conv(RGB - mean_RGB) bit-identical
+                # to the original conv(BGR - mean_BGR), since per-channel
+                # mean subtraction commutes with the channel permutation.
+                kernel = kernel[:, :, ::-1, :]
             return kernel, bias
 
         return _params_from_arrays(get)

@@ -109,6 +109,47 @@ def test_human36m_loader(tmp_path):
     assert np.all(np.abs(ev["landmarks"]) < 0.1)
 
 
+def test_human36m_pairs_never_degenerate(tmp_path):
+    """ADVICE r1: frames near sequence ends must not produce a == b pairs.
+    Sequences of length 2 make any end-clamping immediately visible: every
+    pair must be (frame_0, frame_1)."""
+    root = str(tmp_path / "h36m")
+    for s in range(2):
+        seq_dir = os.path.join(root, "train", f"S{s}")
+        # two visually distinct frames: constant black vs constant white
+        _write_const_jpg(os.path.join(seq_dir, "frame_0000.jpg"), 48, 0)
+        _write_const_jpg(os.path.join(seq_dir, "frame_0001.jpg"), 48, 255)
+    ds = Human36MDataset(root, image_size=32, max_gap=5)
+    for batch in ds.train_pair_batches(8, seed=0, n_batches=4):
+        a, b = batch["image_a"], batch["image_b"]
+        # a is always the dark frame, b always the bright one; never equal
+        diff = np.abs(a.mean(axis=(1, 2, 3)) - b.mean(axis=(1, 2, 3)))
+        assert np.all(diff > 0.5), diff
+
+
+def _write_const_jpg(path, size, value):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(
+        np.full((size, size, 3), value, np.uint8)
+    ).save(path, quality=95)
+
+
+def test_aflw_csv_header_and_exponent_floats(tmp_path):
+    """Header rows are skipped by parsing (not string pattern-matching), and
+    exponent-format floats parse (VERDICT r1 weak #8)."""
+    root = str(tmp_path / "aflw")
+    _write_jpg(os.path.join(root, "images", "face0.jpg"), 50, 50, seed=0)
+    with open(os.path.join(root, "aflw_test.csv"), "w") as f:
+        f.write("filename," + ",".join(f"c{i}" for i in range(10)) + "\n")
+        f.write("face0.jpg,2.5e1," + ",".join(["25.0"] * 9) + "\n")
+    ds = AFLWDataset(root, image_size=32)
+    recs = ds._read_csv("test")
+    assert len(recs) == 1
+    assert recs[0][1][0, 0] == 25.0
+
+
 def test_aflw_loader(tmp_path):
     root = str(tmp_path / "aflw")
     for i in range(4):
