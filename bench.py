@@ -19,6 +19,7 @@ code ever materializes (SURVEY.md §6).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import statistics
 import time
@@ -26,7 +27,20 @@ import time
 BASELINE_TF1_GPU_IMG_PER_SEC = 100.0  # documented estimate, see module docstring
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--loss-input-scale", type=int, default=None,
+        help="bench a VGG-loss input_scale variant (see losses/perceptual.py)",
+    )
+    parser.add_argument(
+        "--taps", default=None,
+        help="comma-separated VGG tap subset, e.g. conv1_2,conv2_2,conv3_3",
+    )
+    args = parser.parse_args(argv)
+
     from imm_tpu.cli._common import enable_compile_cache
 
     enable_compile_cache()
@@ -40,7 +54,15 @@ def main():
 
     batch, scan = 128, 20
     cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
-    loss_fn = ReconstructionLoss(PerceptualLossConfig())
+    loss_cfg = PerceptualLossConfig()
+    if args.loss_input_scale:
+        loss_cfg = dataclasses.replace(loss_cfg, input_scale=args.loss_input_scale)
+    if args.taps:
+        taps = tuple(args.taps.split(","))
+        loss_cfg = dataclasses.replace(
+            loss_cfg, taps=taps, weights=(1.0,) * (1 + len(taps))
+        )
+    loss_fn = ReconstructionLoss(loss_cfg)
     tcfg = TrainConfig(batch_size=batch)
     model, state = create_train_state(
         jax.random.PRNGKey(0), cfg, tcfg, loss_fn.n_terms

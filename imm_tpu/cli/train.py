@@ -71,6 +71,11 @@ def main(argv=None):
         if not args.workdir:
             raise SystemExit("--supervise requires --workdir (for resume)")
         raise SystemExit(_supervise(args.supervise, argv))
+    # Multi-host process group, before any backend-touching JAX call.
+    # No-op when no coordinator is configured (single host, this machine).
+    from imm_tpu.parallel.distributed import initialize_multihost
+
+    initialize_multihost()
     enable_compile_cache()
     config = resolve_config(args)
 

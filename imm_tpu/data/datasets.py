@@ -159,10 +159,22 @@ class ImageDataset:
         return None
 
     def train_batches(
-        self, batch_size: int, seed: int = 0, n_batches: int | None = None
+        self,
+        batch_size: int,
+        seed: int = 0,
+        n_batches: int | None = None,
+        shard: tuple[int, int] | None = None,
     ) -> Iterator[dict[str, np.ndarray]]:
-        """Infinite (or bounded) stream of {'image': (B, S, S, 3)} batches."""
-        files = self._train_files()
+        """Infinite (or bounded) stream of {'image': (B, S, S, 3)} batches.
+
+        ``shard=(process_index, process_count)`` restricts this iterator to an
+        interleaved slice of the file list — the multi-host path where each
+        host feeds only its local share of the global batch (see
+        ``imm_tpu.parallel.distributed``).
+        """
+        from imm_tpu.parallel.distributed import shard_items
+
+        files = shard_items(self._train_files(), shard)
         if not files:
             raise RuntimeError(f"no training images under {self.root}")
         rng = np.random.default_rng(seed)
@@ -386,10 +398,21 @@ class Human36MDataset(ImageDataset):
         return [f for frames, _ in self._seqs.get("train", []) for f in frames]
 
     def train_pair_batches(
-        self, batch_size: int, seed: int = 0, n_batches: int | None = None
+        self,
+        batch_size: int,
+        seed: int = 0,
+        n_batches: int | None = None,
+        shard: tuple[int, int] | None = None,
     ) -> Iterator[dict[str, np.ndarray]]:
-        """Temporal pairs: {'image_a', 'image_b'} from the same sequence."""
+        """Temporal pairs: {'image_a', 'image_b'} from the same sequence.
+
+        ``shard``: see ``ImageDataset.train_batches`` — here it slices whole
+        sequences, never splitting a sequence across hosts.
+        """
+        from imm_tpu.parallel.distributed import shard_items
+
         seqs = [s for s in self._seqs.get("train", []) if len(s[0]) >= 2]
+        seqs = shard_items(seqs, shard)
         if not seqs:
             raise RuntimeError(f"no multi-frame sequences under {self.root}/train")
         rng = np.random.default_rng(seed)

@@ -47,6 +47,44 @@ def load_landmarker(blob: bytes):
     return lambda images: exported.call(images)
 
 
+def swap_fn(model, params, batch_stats):
+    """The swap serving function (SURVEY.md §3.4, driver config 5):
+
+    (appearance images, pose images), both (B,S,S,3) in [0,1] ->
+    (B,S,S,3) generated images with A's appearance in B's pose.
+    """
+
+    def fn(appearance, pose):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        content = model.apply(variables, appearance, method=model.encode_content)
+        coords, _ = model.apply(variables, pose, method=model.encode_pose)
+        return model.apply(variables, content, coords, method=model.generate)
+
+    return fn
+
+
+def export_swap_generator(
+    model, params, batch_stats, batch: int, image_size: int
+) -> bytes:
+    """Serialize the full pose-swap generator to portable StableHLO bytes."""
+    from jax import export as jax_export
+
+    fn = swap_fn(model, params, batch_stats)
+    spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(fn))(spec, spec)
+    return exported.serialize()
+
+
+def load_swap_generator(blob: bytes):
+    """Deserialize an exported swap generator into a callable."""
+    from jax import export as jax_export
+
+    exported = jax_export.deserialize(blob)
+    return lambda appearance, pose: exported.call(appearance, pose)
+
+
 def save_landmarker(path: str, model, params, batch_stats, batch, image_size):
     with open(path, "wb") as f:
         f.write(export_landmarker(model, params, batch_stats, batch, image_size))

@@ -160,10 +160,27 @@ def build_experiment(
             image_size=config.model.image_size,
             n_landmarks=config.model.n_landmarks,
         )
+        # Multi-host: each process loads/decodes only its interleaved slice of
+        # the dataset and feeds batch/process_count samples; the global array
+        # is assembled below. Single host degenerates to the full batch.
+        from imm_tpu.parallel.distributed import process_shard_spec
+
+        shard_spec = process_shard_spec()
+        n_proc = jax.process_count()
+        if batch % n_proc:
+            raise ValueError(
+                f"global batch {batch} not divisible by {n_proc} processes"
+            )
+        local_batch = batch // n_proc
+        local_seed = config.train.seed + jax.process_index()
         if pair_mode == "temporal":
-            raw = dataset.train_pair_batches(batch, seed=config.train.seed)
+            raw = dataset.train_pair_batches(
+                local_batch, seed=local_seed, shard=shard_spec
+            )
         else:
-            raw = dataset.train_batches(batch, seed=config.train.seed)
+            raw = dataset.train_batches(
+                local_batch, seed=local_seed, shard=shard_spec
+            )
         host_it = _stack_batches(raw, scan) if scan > 1 else raw
         # scan super-batches are (scan, batch, ...): shard axis 1, not axis 0
         b_shard = batch_sharding(mesh, scan_axis=scan > 1)
@@ -174,8 +191,13 @@ def build_experiment(
 
             def __next__(self):
                 b = next(host_it)
+                # per-process local shards -> one global jax.Array; on a
+                # single host this is exactly device_put(x, b_shard)
                 return jax.tree.map(
-                    lambda x: jax.device_put(jnp.asarray(x), b_shard), b
+                    lambda x: jax.make_array_from_process_local_data(
+                        b_shard, np.asarray(x)
+                    ),
+                    b,
                 )
 
         batches = _HostBatches()

@@ -49,6 +49,12 @@ class PerceptualLossConfig:
     ema_decay: float = 0.99
     pixel_scales: int = 3  # multi-scale pyramid depth for the 'pixel' source
     vgg_seed: int = 0
+    # Downsample factor (avg-pool) applied to recon+target before the VGG
+    # pass. 2 quarters the VGG FLOPs (the step's dominant cost — see
+    # PERFORMANCE.md) while the taps keep their receptive-field structure;
+    # the full-resolution pixel term is computed before pooling, so no
+    # fine-detail signal is lost entirely. 1 = reference-faithful.
+    input_scale: int = 1
 
     def resolve_source(self) -> tuple[str, str | None]:
         """-> (source, weights_path). 'auto' prefers real VGG, else random."""
@@ -98,6 +104,10 @@ class ReconstructionLoss:
             raise ValueError(
                 f"need {self.n_terms} loss weights, got {len(config.weights)}"
             )
+        if config.input_scale & (config.input_scale - 1) or config.input_scale < 1:
+            raise ValueError(
+                f"input_scale must be a power of two, got {config.input_scale}"
+            )
 
     def init_ema(self) -> jnp.ndarray:
         return jnp.ones((self.n_terms,), jnp.float32)
@@ -113,6 +123,8 @@ class ReconstructionLoss:
         # One VGG pass over the stacked batch instead of two: doubles the
         # conv batch (better MXU utilization) and halves kernel dispatches.
         both = jnp.concatenate([recon, target], axis=0)
+        for _ in range(self.config.input_scale.bit_length() - 1):
+            both = _avg_pool2(both)
         feats = self._vgg.apply({"params": self.vgg_params}, both)
         b = recon.shape[0]
         terms = [jnp.mean(jnp.square(recon - target))]

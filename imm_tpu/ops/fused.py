@@ -9,9 +9,11 @@ Here both implementations are provided:
   XLA fuses the softmax/expectation/exp chain into neighboring convs.
 - ``impl='pallas'``: a single Mosaic kernel that reads each heatmap block from
   VMEM once and writes coords + rendered maps without HBM round-trips, gridded
-  over the batch. Forward-only; the backward pass is supplied by a
-  ``custom_vjp`` whose cotangent program is the (XLA-fused) vjp of the
-  reference implementation — numerically identical gradients.
+  over the batch. The backward pass is a second Pallas kernel
+  (``_bottleneck_bwd_kernel``) wired through ``custom_vjp``: it recomputes the
+  tiny forward intermediates in-register (cheaper than residual round-trips)
+  and emits d(heatmaps) in one VMEM pass; gradients match the composable
+  implementation (see tests/test_fused.py).
 
 ``landmark_bottleneck`` is the public entry; ``impl='auto'`` picks Pallas on
 TPU backends and XLA elsewhere (e.g. the CPU test mesh).
@@ -106,6 +108,85 @@ def _bottleneck_pallas_fwd(heatmaps, out_hw, inv_std, temperature, batch_tile):
     return coords, maps
 
 
+def _bottleneck_bwd_kernel(
+    h_ref, dc_ref, dm_ref, dh_ref, *, out_hw, inv_std, temperature
+):
+    """One batch-block of the bottleneck VJP, entirely in VMEM.
+
+    Residual = the input heatmaps only; the tiny forward intermediates
+    (marginal softmaxes, coords, rendered maps) are recomputed in-register —
+    cheaper than a round-trip to HBM for five residual tensors.
+
+    Math (per landmark): with z = marginal/T, p = softmax(z), c = Σ p·r and
+    M = exp(-s²((r_y−c_y)² + (r_x−c_x)²)):
+      dc += Σ_ij dM·M·2s²(r−c)          (render term)
+      dz  = p·(r − c)·dc                 (softmax-expectation jacobian)
+      dH  = dz_y/(T·W) ⊕ dz_x/(T·H)      (mean-marginal broadcast)
+    """
+    x = h_ref[:]  # (BT, H, W, K)
+    dc = dc_ref[:]  # (BT, K, 2)
+    dm = dm_ref[:]  # (BT, oh, ow, K)
+    bt, h, w, k = x.shape
+    oh, ow = out_hw
+    dtype = x.dtype
+    inv_t = 1.0 / temperature
+    s2 = inv_std * inv_std
+
+    y_marg = jnp.mean(x, axis=2)  # (BT, H, K)
+    x_marg = jnp.mean(x, axis=1)  # (BT, W, K)
+    py = jax.nn.softmax(y_marg * inv_t, axis=1)
+    px = jax.nn.softmax(x_marg * inv_t, axis=1)
+    ry = _ruler((bt, h, k), 1, h, dtype)
+    rx = _ruler((bt, w, k), 1, w, dtype)
+    cy = jnp.sum(py * ry, axis=1)  # (BT, K)
+    cx = jnp.sum(px * rx, axis=1)
+
+    gy = _ruler((bt, k, oh), 2, oh, dtype) - cy[:, :, None]  # (BT, K, oh)
+    gx = _ruler((bt, k, ow), 2, ow, dtype) - cx[:, :, None]  # (BT, K, ow)
+    maps = jnp.exp(-(jnp.square(gy)[:, :, :, None] + jnp.square(gx)[:, :, None, :]) * s2)
+    wgt = jnp.transpose(dm, (0, 3, 1, 2)) * maps * (2.0 * s2)  # (BT, K, oh, ow)
+    # gy is constant along ow (and gx along oh), so the 2-D pixel reduction
+    # factors into two single-trailing-axis reductions — which is also the
+    # only shape Mosaic supports (no multi-trailing-dim vector reductions).
+    dcy = dc[:, :, 0] + jnp.sum(jnp.sum(wgt, axis=3) * gy, axis=2)
+    dcx = dc[:, :, 1] + jnp.sum(jnp.sum(wgt, axis=2) * gx, axis=2)
+
+    dym = py * (ry - cy[:, None, :]) * (dcy[:, None, :] * inv_t)  # (BT, H, K)
+    dxm = px * (rx - cx[:, None, :]) * (dcx[:, None, :] * inv_t)  # (BT, W, K)
+    dh_ref[:] = dym[:, :, None, :] * (1.0 / w) + dxm[:, None, :, :] * (1.0 / h)
+
+
+def _bottleneck_pallas_bwd(heatmaps, dcoords, dmaps, out_hw, inv_std, temperature, batch_tile):
+    b, h, w, k = heatmaps.shape
+    oh, ow = out_hw
+    bt = min(batch_tile, b)
+    pad = (-b) % bt
+    if pad:
+        z = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0
+        )
+        heatmaps, dcoords, dmaps = z(heatmaps), z(dcoords), z(dmaps)
+    bp = heatmaps.shape[0]
+    kernel = functools.partial(
+        _bottleneck_bwd_kernel, out_hw=out_hw, inv_std=inv_std, temperature=temperature
+    )
+    dh = pl.pallas_call(
+        kernel,
+        grid=(bp // bt,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((bt, h, w, k), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, oh, ow, k), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bt, h, w, k), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, h, w, k), heatmaps.dtype),
+    )(heatmaps, dcoords, dmaps)
+    return dh[:b] if pad else dh
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _bottleneck_pallas(heatmaps, out_hw, inv_std, temperature, batch_tile):
     return _bottleneck_pallas_fwd(heatmaps, out_hw, inv_std, temperature, batch_tile)
@@ -117,13 +198,10 @@ def _pallas_fwd_rule(heatmaps, out_hw, inv_std, temperature, batch_tile):
 
 
 def _pallas_bwd_rule(out_hw, inv_std, temperature, batch_tile, heatmaps, cotangents):
-    # Gradient via the reference program — XLA fuses this into the backward
-    # graph; numerics match the composable implementation exactly.
-    _, vjp_fn = jax.vjp(
-        lambda hm: _bottleneck_reference(hm, out_hw, inv_std, temperature, "rot"),
-        heatmaps,
+    dcoords, dmaps = cotangents
+    d_heatmaps = _bottleneck_pallas_bwd(
+        heatmaps, dcoords, dmaps, out_hw, inv_std, temperature, batch_tile
     )
-    (d_heatmaps,) = vjp_fn(cotangents)
     return (d_heatmaps,)
 
 

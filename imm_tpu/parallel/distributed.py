@@ -1,19 +1,20 @@
-"""Multi-host initialization (SURVEY.md §2/§5 comm-backend plan).
+"""Multi-host initialization + per-process data sharding (SURVEY.md §2/§5).
 
 A single v5e-8 slice is one host — the target configuration needs none of
-this. For multi-host slices/pods the recipe is:
+this. For multi-host slices/pods the wiring is live in the production path:
 
-    from imm_tpu.parallel.distributed import initialize_multihost
-    initialize_multihost()        # before any jax.devices() call
-    mesh = make_mesh()            # global mesh over all processes' chips
+- ``imm_tpu.cli.train`` calls :func:`initialize_multihost` before any other
+  JAX call (a no-op when no coordinator is configured in the environment);
+- ``build_experiment``'s file-backed path shards the dataset per process via
+  :func:`process_shard_spec`, each host loads/decodes only its slice of the
+  global batch, and the global array is assembled with
+  ``jax.make_array_from_process_local_data`` over the mesh sharding.
 
-and the host data pipeline shards per-process via ``process_shard`` so each
-host only loads/decodes its slice of the global batch. Collectives then ride
-ICI within the slice and DCN across slices — XLA's partitioner decides, no
-NCCL/MPI-style code exists anywhere in this framework.
-
-Untestable on this machine (single host, single chip); kept minimal and
-documented rather than speculative.
+Collectives then ride ICI within a slice and DCN across slices — XLA's
+partitioner decides, no NCCL/MPI-style code exists anywhere in this
+framework. Multi-host execution itself is untestable on this machine (single
+host, single chip); the shard arithmetic and the single-process degenerate
+path are unit-tested.
 """
 
 from __future__ import annotations
@@ -29,19 +30,43 @@ def initialize_multihost(**kwargs) -> None:
     backends and make the real initialize fail). Safe to call twice and in
     single-process environments.
     """
+    import os
+
+    explicit = kwargs.get("coordinator_address") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         if "already" in str(e).lower():
             return  # process group already up
+        if "before" in str(e) and not explicit:
+            # backends already initialized in a single-process context
+            # (tests, notebooks): harmless. With an explicit coordinator
+            # this ordering bug would silently drop multi-host — raise.
+            return
         raise
     except ValueError:
         # no coordinator configured in the environment: single process
         pass
 
 
-def process_shard(n: int) -> tuple[int, int]:
-    """(start, stop) of this host's slice of a length-n global list."""
-    p, i = jax.process_count(), jax.process_index()
-    per = -(-n // p)
-    return i * per, min((i + 1) * per, n)
+def process_shard_spec() -> tuple[int, int] | None:
+    """(process_index, process_count) for dataset sharding; None if single.
+
+    Datasets slice their file/sequence lists as ``items[index::count]`` —
+    interleaved, so sorted-by-subject orderings (e.g. H36M sequences) spread
+    evenly across hosts instead of giving each host one subject block.
+    """
+    p = jax.process_count()
+    return (jax.process_index(), p) if p > 1 else None
+
+
+def shard_items(items, shard: tuple[int, int] | None):
+    """Apply a (index, count) shard spec to a list (identity when None)."""
+    if shard is None:
+        return items
+    index, count = shard
+    if not 0 <= index < count:
+        raise ValueError(f"bad shard spec: index {index} of {count}")
+    return items[index::count]

@@ -1,0 +1,134 @@
+"""TPS-pair training-recipe sweep on the synthetic harness.
+
+Round-1 VERDICT item 3: TPS-pair mode floored at 7.36% IOD while temporal
+(video-pair) mode reached 2.93% on the same synthetic generator. Hypothesis:
+the *individual* warp component — the only pose delta between source and
+target in TPS mode — is far smaller (rot 2.5 deg, trans 0.05) than the
+temporal mode's independent-pose delta (rot ~14 deg, trans 0.25), so the
+source's spatial content features nearly carry the target's pose and the
+landmark bottleneck is never forced to. Each variant trains the flagship
+K=10 model for --steps optimizer steps and records the eval curve.
+
+Usage:
+    python scripts/sweep_tps.py [--steps 15000] [--out PATH.jsonl]
+
+Variants already recorded in --out are skipped, so an interrupted sweep
+resumes where it left off (pair with a shell retry loop; the stall watchdog
+exits the process on a wedged device RPC).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+_IND_4X = [
+    "pair.rotsd=[5,10]",
+    "pair.scalesd=[0.05,0.1]",
+    "pair.transsd=[0.05,0.15]",
+    "pair.warpsd=[0.001,0.04]",
+]
+
+VARIANTS: dict[str, list[str]] = {
+    # round-1 flagship recipe — the 7.36%-at-100k control
+    "control": [],
+    # individual component ~2x: modest pose delta increase
+    "ind_2x": [
+        "pair.rotsd=[5,5]",
+        "pair.scalesd=[0.05,0.05]",
+        "pair.transsd=[0.05,0.1]",
+        "pair.warpsd=[0.001,0.02]",
+    ],
+    # individual component ~4x
+    "ind_4x": list(_IND_4X),
+    # individual delta matched to the generator's own pose distribution
+    # (rot sd 0.25 rad ~ 14 deg, trans +-0.2) — the TPS analog of temporal mode
+    "ind_pose_matched": [
+        "pair.rotsd=[0,14]",
+        "pair.scalesd=[0,0.12]",
+        "pair.transsd=[0,0.2]",
+        "pair.warpsd=[0.001,0.02]",
+    ],
+    # sharper re-rendered gaussians on the best warp recipe
+    "ind_4x_gauss05": _IND_4X + ["model.gauss_std=0.05"],
+    # accuracy guardrail for the half-resolution VGG throughput lever
+    "ind_4x_halfvgg": _IND_4X + ["loss.input_scale=2"],
+}
+
+
+def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
+    import jax
+
+    from imm_tpu.configs import get_preset
+    from imm_tpu.experiment import build_experiment
+    from imm_tpu.utils.config import apply_overrides
+
+    config = apply_overrides(
+        get_preset("synthetic"),
+        [
+            f"name={name}",
+            "train.batch_size=128",
+            f"train.total_steps={steps}",
+            "eval_every=3000",
+        ]
+        + overrides,
+    )
+    exp = build_experiment(config, restore=False)
+    t0 = time.time()
+    state = exp.run()
+    final = exp.eval_fn(state)
+    curve = [
+        {k: v for k, v in h.items() if k == "step" or k.startswith("eval/")}
+        for h in exp.trainer.history
+        if any(k.startswith("eval/") for k in h)
+    ]
+    rec = {
+        "variant": name,
+        "steps": steps,
+        "overrides": overrides,
+        "final": final,
+        "curve": curve,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"[sweep] {name}: test={final['landmark_error_test_pct']:.2f}%IOD "
+          f"({rec['wall_s']:.0f}s)", flush=True)
+    jax.clear_caches()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=15_000)
+    parser.add_argument(
+        "--out", default="docs/artifacts/sweep_tps.jsonl",
+    )
+    parser.add_argument(
+        "--only", default=None, help="comma-separated variant subset"
+    )
+    args = parser.parse_args(argv)
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
+                        datefmt="%H:%M:%S")
+    from imm_tpu.cli._common import enable_compile_cache
+
+    enable_compile_cache()
+
+    done = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            done = {json.loads(line)["variant"] for line in f if line.strip()}
+    names = args.only.split(",") if args.only else list(VARIANTS)
+    for name in names:
+        if name in done:
+            print(f"[sweep] {name}: already recorded, skipping", flush=True)
+            continue
+        run_variant(name, VARIANTS[name], args.steps, args.out)
+
+
+if __name__ == "__main__":
+    main()

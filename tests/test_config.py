@@ -64,3 +64,21 @@ def test_driver_configs_covered():
     assert PRESETS["human36m"].data.pair_mode == "temporal"
     assert PRESETS["human36m"].pair.enable_warp is False
     assert PRESETS["human36m"].data.eval_norm == "size"
+
+
+def test_sweep_variant_overrides_parse():
+    """Every sweep variant's overrides apply cleanly to the synthetic preset."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        import sweep_tps
+    finally:
+        sys.path.pop(0)
+    from imm_tpu.configs import get_preset
+    from imm_tpu.utils.config import apply_overrides
+
+    for name, overrides in sweep_tps.VARIANTS.items():
+        config = apply_overrides(get_preset("synthetic"), [f"name={name}"] + overrides)
+        assert config.name == name
+        assert len(config.pair.rotsd) == 2

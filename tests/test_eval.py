@@ -95,6 +95,31 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_export_swap_generator_roundtrip():
+    """Serialized StableHLO swap generator matches pose_swap exactly."""
+    from imm_tpu.eval.export import export_swap_generator, load_swap_generator
+    from imm_tpu.eval.swap import pose_swap
+    from imm_tpu.models import IMMConfig
+    from imm_tpu.models.imm import init_model
+
+    cfg = IMMConfig(
+        image_size=32, n_landmarks=4, filters=(8, 8, 16, 16),
+        strides=(1, 2, 1, 2), decoder_filters=(16, 8, 8),
+    )
+    model, variables = init_model(jax.random.PRNGKey(0), cfg)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    blob = export_swap_generator(model, params, stats, batch=2, image_size=32)
+    served = load_swap_generator(blob)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    app = jax.random.uniform(k1, (2, 32, 32, 3))
+    pose = jax.random.uniform(k2, (2, 32, 32, 3))
+    got = served(app, pose)
+    want = pose_swap(model, params, stats, app, pose)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_sweep_coords_handles_ragged_tail():
     """Non-divisible eval sizes: padded tail chunk, exact result count."""
     from imm_tpu.eval.regression import sweep_coords

@@ -211,3 +211,26 @@ def test_loss_zero_for_exact_reconstruction():
         assert float(total) < 1e-6
         for v in metrics.values():
             assert float(v) < 1e-6
+
+def test_loss_input_scale_halves_vgg_resolution():
+    """input_scale pools before the VGG pass; loss stays a valid metric."""
+    from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="random_vgg", input_scale=2)
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.uniform(k1, (2, 32, 32, 3))
+    y = jax.random.uniform(k2, (2, 32, 32, 3))
+    # exact reconstruction -> ~0; different images -> clearly positive
+    total0, _, _ = loss_fn(x, x, loss_fn.init_ema(), 1)
+    total1, _, _ = loss_fn(x, y, loss_fn.init_ema(), 1)
+    assert float(total0) < 1e-6
+    assert float(total1) > 1e-3
+    # non-power-of-two rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        ReconstructionLoss(
+            PerceptualLossConfig(feature_source="pixel", input_scale=3)
+        )
