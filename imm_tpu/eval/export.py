@@ -47,29 +47,18 @@ def load_landmarker(blob: bytes):
     return lambda images: exported.call(images)
 
 
-def swap_fn(model, params, batch_stats):
-    """The swap serving function (SURVEY.md §3.4, driver config 5):
-
-    (appearance images, pose images), both (B,S,S,3) in [0,1] ->
-    (B,S,S,3) generated images with A's appearance in B's pose.
-    """
-
-    def fn(appearance, pose):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        content = model.apply(variables, appearance, method=model.encode_content)
-        coords, _ = model.apply(variables, pose, method=model.encode_pose)
-        return model.apply(variables, content, coords, method=model.generate)
-
-    return fn
-
-
 def export_swap_generator(
     model, params, batch_stats, batch: int, image_size: int
 ) -> bytes:
-    """Serialize the full pose-swap generator to portable StableHLO bytes."""
+    """Serialize the full pose-swap generator to portable StableHLO bytes.
+
+    The exported program is ``eval.swap.swap_fn`` — the exact forward
+    ``pose_swap`` runs, so the serving artifact can never diverge from the
+    in-process swap path.
+    """
     from jax import export as jax_export
+
+    from imm_tpu.eval.swap import swap_fn
 
     fn = swap_fn(model, params, batch_stats)
     spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.float32)

@@ -231,9 +231,18 @@ def build_experiment(
                 _viz_cache.append(viz_faces.sample(_viz_key, 4)["image"])
             else:  # consume ONE training batch, once, and reuse
                 leaf = next(iter(batches))["image"]
+                # On multi-host meshes the batch is a global array spanning
+                # non-addressable devices — eager slicing would raise. Read
+                # this process's local shards instead (batch axis is 1 for
+                # scan super-batches, else 0); works single-host too.
+                axis = 1 if scan > 1 else 0
+                local = np.concatenate(
+                    [np.asarray(s.data) for s in leaf.addressable_shards],
+                    axis=axis,
+                )
                 if scan > 1:  # strip the lax.scan super-batch axis
-                    leaf = leaf[0]
-                _viz_cache.append(jnp.asarray(leaf[:4]))
+                    local = local[0]
+                _viz_cache.append(jnp.asarray(local[:4]))
         viz_images = _viz_cache[0]
 
         src, tgt, out = _viz_fwd(state.params, state.batch_stats, viz_images)

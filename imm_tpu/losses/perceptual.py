@@ -108,6 +108,11 @@ class ReconstructionLoss:
             raise ValueError(
                 f"input_scale must be a power of two, got {config.input_scale}"
             )
+        if config.input_scale != 1 and source == "pixel":
+            raise ValueError(
+                "input_scale applies to the VGG feature pass; the 'pixel' "
+                "source has no VGG — its own pyramid is pixel_scales"
+            )
 
     def init_ema(self) -> jnp.ndarray:
         return jnp.ones((self.n_terms,), jnp.float32)

@@ -32,22 +32,36 @@ def initialize_multihost(**kwargs) -> None:
     """
     import os
 
-    explicit = kwargs.get("coordinator_address") or os.environ.get(
-        "JAX_COORDINATOR_ADDRESS"
+    # Any signal that this is meant to be a multi-host run. Covers the
+    # explicit kwarg plus the env vars jax's cluster auto-detection reads;
+    # auto-detected TPU-pod metadata can't be probed from here, so a pod
+    # whose only signal is the metadata server still needs initialize_
+    # multihost() called before any backend touch (the CLI does).
+    multihost_intent = bool(
+        kwargs.get("coordinator_address")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     )
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         if "already" in str(e).lower():
             return  # process group already up
-        if "before" in str(e) and not explicit:
+        if "before" in str(e).lower() and not multihost_intent:
             # backends already initialized in a single-process context
-            # (tests, notebooks): harmless. With an explicit coordinator
+            # (tests, notebooks): harmless. With a configured coordinator
             # this ordering bug would silently drop multi-host — raise.
             return
         raise
     except ValueError:
-        # no coordinator configured in the environment: single process
+        if multihost_intent:
+            # a coordinator IS configured but initialize couldn't assemble
+            # the process group (e.g. num_processes undetectable): silently
+            # training N independent single-host models would be the worst
+            # outcome, so surface it.
+            raise
+        # no coordinator configured anywhere: single process
         pass
 
 

@@ -22,7 +22,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+# `python scripts/sweep_tps.py` puts scripts/ (not the repo root) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _IND_4X = [
     "pair.rotsd=[5,10]",
@@ -123,6 +127,9 @@ def main(argv=None):
         with open(args.out) as f:
             done = {json.loads(line)["variant"] for line in f if line.strip()}
     names = args.only.split(",") if args.only else list(VARIANTS)
+    unknown = sorted(set(names) - VARIANTS.keys())
+    if unknown:  # fail in milliseconds, not hours into the sweep
+        raise SystemExit(f"unknown variants {unknown}; options: {sorted(VARIANTS)}")
     for name in names:
         if name in done:
             print(f"[sweep] {name}: already recorded, skipping", flush=True)

@@ -68,13 +68,15 @@ def test_driver_configs_covered():
 
 def test_sweep_variant_overrides_parse():
     """Every sweep variant's overrides apply cleanly to the synthetic preset."""
+    import os
     import sys
 
-    sys.path.insert(0, "scripts")
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, scripts_dir)
     try:
         import sweep_tps
     finally:
-        sys.path.pop(0)
+        sys.path.remove(scripts_dir)
     from imm_tpu.configs import get_preset
     from imm_tpu.utils.config import apply_overrides
 

@@ -47,10 +47,7 @@ def test_initialize_multihost_is_safe_single_process():
 
 
 def test_dataset_shard_slices_files(tmp_path):
-    cv2 = pytest.importorskip("cv2")
-    import sys
-
-    sys.path.insert(0, str(tmp_path))  # noqa: F841 (fixture import below)
+    pytest.importorskip("cv2")
     from test_data import _make_celeba  # reuse the fixture builder
 
     from imm_tpu.data import CelebADataset

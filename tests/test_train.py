@@ -227,10 +227,14 @@ def test_loss_input_scale_halves_vgg_resolution():
     total1, _, _ = loss_fn(x, y, loss_fn.init_ema(), 1)
     assert float(total0) < 1e-6
     assert float(total1) > 1e-3
-    # non-power-of-two rejected
+    # non-power-of-two rejected; pixel source has no VGG pass to scale
     import pytest
 
     with pytest.raises(ValueError):
         ReconstructionLoss(
-            PerceptualLossConfig(feature_source="pixel", input_scale=3)
+            PerceptualLossConfig(feature_source="random_vgg", input_scale=3)
+        )
+    with pytest.raises(ValueError):
+        ReconstructionLoss(
+            PerceptualLossConfig(feature_source="pixel", input_scale=2)
         )

@@ -136,6 +136,7 @@ def test_file_backed_multidevice_scan_sharding(tmp_path):
         base,
         train=dataclasses.replace(base.train, batch_size=8, steps_per_call=5),
         data=DataConfig(source="celeba", root=root, pair_mode="tps"),
+        eval_every=15,  # also wires eval + the viz panel into the run
     )
     mesh = make_mesh(8)
     exp = build_experiment(cfg, mesh=mesh, total_steps=20)  # >= 2 dispatches
@@ -150,6 +151,11 @@ def test_file_backed_multidevice_scan_sharding(tmp_path):
     assert tuple(spec)[:2] == (None, "data"), spec
     shard_shapes = {s.data.shape for s in leaf.addressable_shards}
     assert shard_shapes == {(5, 1) + leaf.shape[2:]}
+    # the viz path must read the sharded batch via addressable shards (a
+    # global array spanning non-addressable devices on multi-host cannot be
+    # sliced eagerly) — exercise it on the sharded mesh
+    panel = exp.trainer.viz_fn(state)
+    assert np.asarray(panel).ndim == 3
     del exp, b, leaf
     jax.clear_caches()
 
