@@ -291,6 +291,8 @@ class AFLWDataset(ImageDataset):
                 except ValueError:
                     continue
                 pts = np.array(vals, np.float32).reshape(5, 2)
+                if not np.isfinite(pts).all():
+                    continue  # 'nan'/'inf' placeholders would poison eval
                 recs.append((parts[0], pts))
         return recs
 

@@ -121,10 +121,13 @@ def load_vgg16_params(path: str) -> Any:
     Keras-style ``block{b}_conv{i}`` names. h5: the Keras applications layout.
 
     Channel convention: this module feeds **RGB** images (``preprocess``).
-    Keras .h5 weights are caffe-lineage (trained on BGR), so conv1_1's
-    input channels are flipped at load time. npz files are assumed to be in
-    this module's RGB convention already (they are our own export format);
-    export BGR-lineage weights to npz with conv1_1 pre-flipped.
+    Keras/caffe-lineage VGG16 was trained on BGR input, so wherever the key
+    format signals that lineage — the .h5 layout or Keras-style
+    ``block{b}_conv{i}`` npz keys — conv1_1's input channels are flipped at
+    load time: conv(RGB − mean_RGB) is then bit-identical to the original
+    conv(BGR − mean_BGR), since per-channel mean subtraction commutes with
+    the channel permutation. Only ``conv{b}_{i}``-keyed npz files (this
+    module's own export format) are assumed RGB-ready.
     """
     if not os.path.exists(path):
         raise FileNotFoundError(path)
@@ -133,39 +136,37 @@ def load_vgg16_params(path: str) -> Any:
 
         def get(name):
             b, i = int(name[4]), int(name[6])
-            for kk, bk in (
-                (f"{name}_kernel", f"{name}_bias"),
-                (f"block{b}_conv{i}_kernel", f"block{b}_conv{i}_bias"),
-            ):
-                if kk in data:
-                    return data[kk], data[bk]
+            if f"{name}_kernel" in data:  # our RGB-ready export format
+                return data[f"{name}_kernel"], data[f"{name}_bias"]
+            kk, bk = f"block{b}_conv{i}_kernel", f"block{b}_conv{i}_bias"
+            if kk in data:  # Keras-style keys: caffe-lineage BGR weights
+                kernel = data[kk]
+                if name == "conv1_1":
+                    kernel = kernel[:, :, ::-1, :]
+                return kernel, data[bk]
             raise KeyError(f"no weights for {name} in {path}")
 
         return _params_from_arrays(get)
     if path.endswith((".h5", ".hdf5")):
         import h5py
 
-        f = h5py.File(path, "r")
+        with h5py.File(path, "r") as f:
 
-        def get(name):
-            b, i = int(name[4]), int(name[6])
-            layer = f"block{b}_conv{i}"
-            grp = f[layer] if layer in f else f["model_weights"][layer]
-            # Keras nests weights one level deeper under the layer name.
-            if layer in grp:
-                grp = grp[layer]
-            kernel = np.asarray(grp[[k for k in grp if "kernel" in k][0]])
-            bias = np.asarray(grp[[k for k in grp if "bias" in k][0]])
-            if name == "conv1_1":
-                # Keras/caffe-lineage VGG16 was trained on BGR input; this
-                # module feeds RGB (see preprocess()). Flipping conv1_1's
-                # input-channel axis makes conv(RGB - mean_RGB) bit-identical
-                # to the original conv(BGR - mean_BGR), since per-channel
-                # mean subtraction commutes with the channel permutation.
-                kernel = kernel[:, :, ::-1, :]
-            return kernel, bias
+            def get(name):
+                b, i = int(name[4]), int(name[6])
+                layer = f"block{b}_conv{i}"
+                grp = f[layer] if layer in f else f["model_weights"][layer]
+                # Keras nests weights one level deeper under the layer name.
+                if layer in grp:
+                    grp = grp[layer]
+                kernel = np.asarray(grp[[k for k in grp if "kernel" in k][0]])
+                bias = np.asarray(grp[[k for k in grp if "bias" in k][0]])
+                if name == "conv1_1":
+                    # BGR-lineage -> RGB convention (see docstring)
+                    kernel = kernel[:, :, ::-1, :]
+                return kernel, bias
 
-        return _params_from_arrays(get)
+            return _params_from_arrays(get)
     raise ValueError(f"unsupported VGG16 weight format: {path}")
 
 

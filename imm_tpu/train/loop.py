@@ -80,6 +80,7 @@ class Trainer:
         self._writer = None
         self._ckpt_mgr = None
         self._last_progress = time.time()
+        self._watch_active = False  # armed only while run() executes
         self._on_stall = None  # injectable for tests; default aborts
         if options.workdir:
             os.makedirs(options.workdir, exist_ok=True)
@@ -98,6 +99,13 @@ class Trainer:
             timeout = self.options.stall_timeout_s
             while True:
                 time.sleep(min(timeout / 4, 60.0))
+                # Watch only while the loop is live: a daemon thread outlives
+                # run(), and a finished Trainer's _last_progress goes stale —
+                # without this gate it would abort the process ~timeout
+                # seconds after a SUCCESSFUL run (observed killing a sweep
+                # between variants).
+                if not self._watch_active:
+                    continue
                 idle = time.time() - self._last_progress
                 if idle > timeout:
                     log.critical(
@@ -194,6 +202,14 @@ class Trainer:
     # -- the loop ---------------------------------------------------------
 
     def run(self):
+        self._last_progress = time.time()
+        self._watch_active = True
+        try:
+            return self._run()
+        finally:
+            self._watch_active = False
+
+    def _run(self):
         state = self.state
         t_window = time.time()
         images_in_window = 0

@@ -32,6 +32,26 @@ from imm_tpu.train.state import TrainConfig, TrainState, make_optimizer
 Metrics = dict[str, jnp.ndarray]
 
 
+def _scan_mean(metrics: Metrics) -> Metrics:
+    """Average per-step metrics over a scan window.
+
+    With the NaN guard active, skipped steps report their metrics as 0.0
+    (see ``_single_step``); a plain mean would bias the window toward zero —
+    a spuriously *improving* loss exactly when training is unhealthy. Weight
+    by the ok-mask instead, so the window mean is over executed steps only;
+    ``nonfinite_step`` itself stays a plain mean (the skipped fraction).
+    """
+    nf = metrics.get("nonfinite_step")
+    if nf is None:
+        return jax.tree.map(jnp.mean, metrics)
+    ok = 1.0 - nf  # (scan,) 1 where the step executed
+    denom = jnp.maximum(jnp.sum(ok), 1.0)
+    return {
+        k: jnp.mean(v) if k == "nonfinite_step" else jnp.sum(v * ok) / denom
+        for k, v in metrics.items()
+    }
+
+
 def _single_step(
     model: IMM,
     loss_fn: ReconstructionLoss,
@@ -164,7 +184,7 @@ def make_train_step(
             return one(carry, sub_batch, sub_rng)
 
         state, metrics = jax.lax.scan(body, state, (batch, rngs))
-        return state, jax.tree.map(jnp.mean, metrics)
+        return state, _scan_mean(metrics)
 
     if axis is None:
         step_fn = core
@@ -235,7 +255,7 @@ def make_synthetic_train_step(
             return one(state, rng)
         rngs = jax.random.split(rng, scan_steps)
         state, metrics = jax.lax.scan(lambda c, r: one(c, r), state, rngs)
-        return state, jax.tree.map(jnp.mean, metrics)
+        return state, _scan_mean(metrics)
 
     if axis is None:
         step_fn = core

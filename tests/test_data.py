@@ -189,3 +189,20 @@ def test_tfdata_pipeline(tmp_path):
     assert batch["image"].shape == (2, 32, 32, 3)
     assert batch["image"].dtype == np.float32
     assert 0.0 <= batch["image"].min() and batch["image"].max() <= 1.0
+
+
+def test_aflw_nonfinite_rows_skipped(tmp_path):
+    """'nan'/'inf' placeholder rows parse as floats but must not reach eval."""
+    root = str(tmp_path / "aflw")
+    img_dir = os.path.join(root, "images")
+    for i in range(2):
+        _write_jpg(os.path.join(img_dir, f"f{i}.jpg"), seed=i)
+    with open(os.path.join(root, "aflw_test.csv"), "w") as f:
+        f.write("filename,x1,y1,x2,y2,x3,y3,x4,y4,x5,y5\n")
+        f.write("f0.jpg,10,12,20,12,15,18,12,24,18,24\n")
+        f.write("f1.jpg,nan,nan,20,12,15,18,12,24,18,24\n")
+        f.write("f1.jpg,inf,12,20,12,15,18,12,24,18,24\n")
+    ds = AFLWDataset(root, image_size=16)
+    ev = ds.eval_arrays("test")
+    assert ev["image"].shape[0] == 1  # only the finite row survives
+    assert np.isfinite(ev["landmarks"]).all()

@@ -228,3 +228,27 @@ def test_stall_watchdog_fires_and_normal_run_does_not(tmp_path):
         _time.sleep(0.2)
     stalled.set()
     assert fired, "watchdog did not fire on a stalled step"
+
+
+def test_watchdog_disarmed_after_run_completes():
+    """The daemon watchdog must never fire after a SUCCESSFUL run: its
+    thread outlives run(), and a stale _last_progress once killed a sweep
+    process ~timeout seconds after the previous variant finished."""
+    import time as _time
+
+    import dataclasses
+
+    from imm_tpu.configs import get_preset
+    from imm_tpu.experiment import build_experiment
+
+    cfg = dataclasses.replace(get_preset("tiny_cpu"))
+    exp = build_experiment(cfg, total_steps=2)
+    exp.run()
+    # run() is over and _last_progress is now permanently stale — an armed
+    # watchdog must still stay quiet because the loop is not live
+    exp.trainer.options.stall_timeout_s = 0.4  # watch ticks every 0.1s
+    fired = []
+    exp.trainer._on_stall = lambda: fired.append(True)
+    exp.trainer._start_watchdog()
+    _time.sleep(1.2)  # well past the timeout, with run() finished
+    assert not fired, "watchdog fired after a successful run"

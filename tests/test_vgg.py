@@ -125,3 +125,24 @@ def test_random_params_deterministic():
     np.testing.assert_array_equal(
         np.asarray(a["conv1_1"]["kernel"]), np.asarray(b["conv1_1"]["kernel"])
     )
+
+
+def test_npz_keras_keys_flip_conv1_1(tmp_path):
+    """Keras-style npz keys signal caffe/BGR lineage -> conv1_1 flipped,
+    exactly like the .h5 path; our own conv{b}_{i} keys load untouched."""
+    arrays = _tiny_weight_arrays()
+    path = str(tmp_path / "keras_style.npz")
+    flat = {}
+    for name, (k, b) in arrays.items():
+        blk, idx = int(name[4]), int(name[6])
+        flat[f"block{blk}_conv{idx}_kernel"] = k
+        flat[f"block{blk}_conv{idx}_bias"] = b
+    np.savez(path, **flat)
+    params = load_vgg16_params(path)
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1_1"]["kernel"]),
+        arrays["conv1_1"][0][:, :, ::-1, :],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1_2"]["kernel"]), arrays["conv1_2"][0]
+    )
