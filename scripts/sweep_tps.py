@@ -61,6 +61,23 @@ VARIANTS: dict[str, list[str]] = {
     "ind_4x_halfvgg": _IND_4X + ["loss.input_scale=2"],
 }
 
+# Second pass (results-driven): ind_2x won the first pass (6.39% vs control
+# 8.26%, ind_4x well behind at 13.1%@9k — 4x overshoots), so probe between
+# 2x and 4x and put the throughput-lever guardrail on the winning base.
+_IND_2X = VARIANTS["ind_2x"]
+VARIANTS.update(
+    {
+        "ind_3x": [
+            "pair.rotsd=[5,7.5]",
+            "pair.scalesd=[0.05,0.075]",
+            "pair.transsd=[0.05,0.12]",
+            "pair.warpsd=[0.001,0.03]",
+        ],
+        "ind_2x_halfvgg": _IND_2X + ["loss.input_scale=2"],
+        "ind_2x_gauss05": _IND_2X + ["model.gauss_std=0.05"],
+    }
+)
+
 
 def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
     import jax
