@@ -2,8 +2,9 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Methodology: the flagship face config (128px, K=10, batch 64, bf16 compute,
-VGG-family perceptual loss) with the fully on-device data path (synthetic
+Methodology: the flagship face config (128px, K=10, batch 128, bf16 compute,
+VGG-family perceptual loss at the presets' half-resolution input_scale=2)
+with the fully on-device data path (synthetic
 generator -> TPS pair synthesis -> fwd/bwd -> Adam), 20 optimizer steps per
 dispatch via lax.scan (the axon tunnel costs ~27 ms per dispatch). Timing is
 the median of several steady-state calls after warmup, counted as images
@@ -54,7 +55,10 @@ def main(argv=None):
 
     batch, scan = 128, 20
     cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
-    loss_cfg = PerceptualLossConfig()
+    # input_scale=2 matches the flagship presets (configs/presets.py): the
+    # half-resolution VGG pass measured accuracy-POSITIVE on two warp bases
+    # (docs/artifacts/sweep_tps.md). Reference-faithful: --loss-input-scale 1.
+    loss_cfg = PerceptualLossConfig(input_scale=2)
     if args.loss_input_scale:
         loss_cfg = dataclasses.replace(loss_cfg, input_scale=args.loss_input_scale)
     if args.taps:

@@ -26,6 +26,13 @@ _FACE_PAIR = PairConfig(
     warpsd=(0.001, 0.01),
 )
 
+# Half-resolution VGG pass: quarters the FLOPs of the dominant loss cost
+# (PERFORMANCE.md step budget) and measured accuracy-POSITIVE on the
+# synthetic harness on two warp bases (docs/artifacts/sweep_tps.md:
+# 6.07 vs 6.39 %IOD on ind_2x, 7.08 vs 9.01 on ind_4x). The
+# reference-faithful full-resolution pass is `loss.input_scale=1`.
+_TPU_LOSS = PerceptualLossConfig(input_scale=2)
+
 _TPU_TRAIN = TrainConfig(
     batch_size=64,
     learning_rate=1e-3,
@@ -41,7 +48,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         model=IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16"),
         train=dataclasses.replace(_TPU_TRAIN, total_steps=2_000),
         pair=_FACE_PAIR,
-        loss=PerceptualLossConfig(),
+        loss=_TPU_LOSS,
         data=DataConfig(source="synthetic", pair_mode="tps"),
         eval_every=500,
         stall_timeout_s=900.0,
@@ -51,7 +58,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         model=IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16"),
         train=_TPU_TRAIN,
         pair=_FACE_PAIR,
-        loss=PerceptualLossConfig(),
+        loss=_TPU_LOSS,
         data=DataConfig(source="celeba", pair_mode="tps", eval_norm="iod"),
         eval_every=10_000,
         stall_timeout_s=900.0,
@@ -61,7 +68,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         model=IMMConfig(n_landmarks=30, image_size=128, compute_dtype="bfloat16"),
         train=_TPU_TRAIN,
         pair=_FACE_PAIR,
-        loss=PerceptualLossConfig(),
+        loss=_TPU_LOSS,
         data=DataConfig(source="aflw", pair_mode="tps", eval_norm="iod"),
         eval_every=10_000,
         stall_timeout_s=900.0,
@@ -71,7 +78,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         model=IMMConfig(n_landmarks=20, image_size=128, compute_dtype="bfloat16"),
         train=_TPU_TRAIN,
         pair=dataclasses.replace(_FACE_PAIR, rotsd=(10.0, 5.0)),
-        loss=PerceptualLossConfig(),
+        loss=_TPU_LOSS,
         data=DataConfig(source="cats", pair_mode="tps", eval_norm="iod"),
         eval_every=10_000,
         stall_timeout_s=900.0,
@@ -81,7 +88,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         model=IMMConfig(n_landmarks=16, image_size=128, compute_dtype="bfloat16"),
         train=_TPU_TRAIN,
         pair=PairConfig(enable_warp=False),  # temporal pairs, jitter only
-        loss=PerceptualLossConfig(),
+        loss=_TPU_LOSS,
         data=DataConfig(source="human36m", pair_mode="temporal", eval_norm="size"),
         eval_every=10_000,
         stall_timeout_s=900.0,
@@ -93,7 +100,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         model=IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16"),
         train=_TPU_TRAIN,
         pair=_FACE_PAIR,
-        loss=PerceptualLossConfig(),
+        loss=_TPU_LOSS,
         data=DataConfig(source="celeba", pair_mode="tps"),
     ),
     # CPU-smoke variant: "single-batch CPU train+eval" (driver config 1 note)

@@ -78,6 +78,55 @@ VARIANTS.update(
     }
 )
 
+# Third pass — on the champion base (ind_3x warp 6.25% + half-res VGG,
+# which is accuracy-POSITIVE: 6.07 vs 6.39 on the 2x base, 7.08 vs 9.01 on
+# 4x). Levers: throughput beyond half-res (VERDICT item 4 — speed must not
+# be bought with accuracy; the VGG loss is ~56% of the step budget,
+# PERFORMANCE.md) and K-scaling on TPS pairs (round 1 showed strong
+# K-scaling in temporal mode: 6.58 -> 4.03 -> ~2.9 for K=10/20/30; the
+# paper's best MAFL numbers are also K=30).
+_IND_3X = VARIANTS["ind_3x"]
+_CHAMP = _IND_3X + ["loss.input_scale=2"]
+VARIANTS.update(
+    {
+        # drop conv4_3 (the deepest, most expensive tap): 4 loss terms
+        "ind_3x_halfvgg_no4": _IND_3X + [
+            "loss.input_scale=2",
+            "loss.taps=[conv1_2,conv2_2,conv3_3]",
+            "loss.weights=[1,1,1,1]",
+        ],
+        # quarter-resolution VGG pass
+        "ind_3x_quartervgg": _IND_3X + ["loss.input_scale=4"],
+        "ind_3x_k30_halfvgg": _CHAMP + ["model.n_landmarks=30"],
+    }
+)
+
+# Convergence runs (separate --out file so the 15k pass records stay):
+# - final TPS recipe at 60k with piecewise LR decay (VERDICT item 3
+#   done-criterion: TPS-pair synthetic <= ~4% with a curve artifact)
+# - K=30 temporal to convergence, completing the K-scaling table against the
+#   paper's K=30 ~ 2.5% row (VERDICT item 5); K=20 converged at 2.93% with
+#   the same 35k/LR-decay recipe in round 1.
+VARIANTS.update(
+    {
+        "final_ind_3x_halfvgg_60k": _CHAMP + [
+            "train.lr_boundaries=[35000,50000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
+        "final_ind_3x_k30_halfvgg_60k": _CHAMP + [
+            "model.n_landmarks=30",
+            "train.lr_boundaries=[35000,50000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
+        "temporal_k30_35k": [
+            "data.pair_mode=temporal",
+            "model.n_landmarks=30",
+            "train.lr_boundaries=[20000,30000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
+    }
+)
+
 
 def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
     import jax
