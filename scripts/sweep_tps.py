@@ -113,6 +113,12 @@ VARIANTS.update(
             "train.lr_boundaries=[35000,50000]",
             "train.lr_factors=[1.0,0.3,0.1]",
         ],
+        # the measured-best K=10 recipe at 15k (6.07 %IOD)
+        "final_ind_2x_halfvgg_60k": _IND_2X + [
+            "loss.input_scale=2",
+            "train.lr_boundaries=[35000,50000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
         "final_ind_3x_k30_halfvgg_60k": _CHAMP + [
             "model.n_landmarks=30",
             "train.lr_boundaries=[35000,50000]",
