@@ -100,6 +100,43 @@ def _normalize_landmarks_xy(
     return np.stack([y_n, x_n], axis=-1).astype(np.float32)
 
 
+_STOP = object()  # end-of-stream sentinel for prefetch_iterator
+
+
+def prefetch_iterator(it, depth: int = 2):
+    """Run iterator ``it`` on a background thread, keeping ``depth`` items hot.
+
+    Used to overlap host-side super-batch assembly and the host->device
+    transfer with device compute (the device_put side of the double-buffered
+    pipeline; decode-side prefetch is ``_PrefetchIterator``). Exceptions in
+    the source iterator propagate to the consumer; exhaustion ends the
+    stream. ``jax.device_put``/``make_array_from_process_local_data`` are
+    thread-safe, so the producer may build global arrays.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def _run():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_STOP)
+        except BaseException as e:  # surface producer failures to the consumer
+            q.put(e)
+
+    threading.Thread(target=_run, daemon=True).start()
+
+    def _gen():
+        while True:
+            item = q.get()
+            if item is _STOP:
+                return
+            if isinstance(item, BaseException):
+                raise RuntimeError("prefetch producer failed") from item
+            yield item
+
+    return _gen()
+
+
 class _PrefetchIterator:
     """Background-thread batch producer (double-buffered host pipeline)."""
 

@@ -185,22 +185,23 @@ def build_experiment(
         # scan super-batches are (scan, batch, ...): shard axis 1, not axis 0
         b_shard = batch_sharding(mesh, scan_axis=scan > 1)
 
-        class _HostBatches:
-            def __iter__(self):
-                return self
-
-            def __next__(self):
-                b = next(host_it)
+        def _device_batches():
+            for b in host_it:
                 # per-process local shards -> one global jax.Array; on a
                 # single host this is exactly device_put(x, b_shard)
-                return jax.tree.map(
+                yield jax.tree.map(
                     lambda x: jax.make_array_from_process_local_data(
                         b_shard, np.asarray(x)
                     ),
                     b,
                 )
 
-        batches = _HostBatches()
+        # Double-buffered host pipeline: super-batch stacking and the
+        # host->device transfer for call N+1 overlap the device compute of
+        # call N (decode prefetch lives in the dataset iterators themselves).
+        from imm_tpu.data.datasets import prefetch_iterator
+
+        batches = prefetch_iterator(_device_batches(), depth=2)
 
         def eval_builder():
             return dataset.eval_arrays("train"), dataset.eval_arrays("test")

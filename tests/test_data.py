@@ -206,3 +206,23 @@ def test_aflw_nonfinite_rows_skipped(tmp_path):
     ev = ds.eval_arrays("test")
     assert ev["image"].shape[0] == 1  # only the finite row survives
     assert np.isfinite(ev["landmarks"]).all()
+
+
+def test_prefetch_iterator_order_and_stop():
+    from imm_tpu.data.datasets import prefetch_iterator
+
+    out = list(prefetch_iterator(iter(range(7)), depth=2))
+    assert out == list(range(7))
+
+
+def test_prefetch_iterator_propagates_producer_error():
+    from imm_tpu.data.datasets import prefetch_iterator
+
+    def bad():
+        yield 1
+        raise ValueError("decode failed")
+
+    it = prefetch_iterator(bad(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="prefetch producer failed"):
+        next(it)
