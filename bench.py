@@ -40,6 +40,9 @@ def main(argv=None):
         "--taps", default=None,
         help="comma-separated VGG tap subset, e.g. conv1_2,conv2_2,conv3_3",
     )
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--scan", type=int, default=20,
+                        help="optimizer steps per dispatch (lax.scan length)")
     args = parser.parse_args(argv)
 
     from imm_tpu.cli._common import enable_compile_cache
@@ -53,7 +56,7 @@ def main(argv=None):
     from imm_tpu.train import TrainConfig, create_train_state
     from imm_tpu.train.steps import make_synthetic_train_step
 
-    batch, scan = 128, 20
+    batch, scan = args.batch, args.scan
     cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
     # input_scale=2 matches the flagship presets (configs/presets.py): the
     # half-resolution VGG pass measured accuracy-POSITIVE on two warp bases

@@ -141,6 +141,11 @@ def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
     from imm_tpu.experiment import build_experiment
     from imm_tpu.utils.config import apply_overrides
 
+    # Long runs wedge occasionally (lost device RPC -> stall watchdog exits
+    # 42): give each variant a scratch workdir so Orbax checkpoints every
+    # 1000 steps and a shell retry loop resumes instead of restarting.
+    # After a resume the recorded curve covers only the final process's
+    # steps; `final` is always the converged number.
     config = apply_overrides(
         get_preset("synthetic"),
         [
@@ -148,10 +153,11 @@ def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
             "train.batch_size=128",
             f"train.total_steps={steps}",
             "eval_every=3000",
+            f"workdir=/tmp/sweep_work/{name}",
         ]
         + overrides,
     )
-    exp = build_experiment(config, restore=False)
+    exp = build_experiment(config, restore=True)
     t0 = time.time()
     state = exp.run()
     final = exp.eval_fn(state)
