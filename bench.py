@@ -16,6 +16,12 @@ documented estimate of the TF1-era single-GPU rate for this model+loss:
 ~30 GFLOP/image fwd+bwd on a 1080Ti-class card at ~30% utilization
 => ~100 images/sec. vs_baseline = value / 100.0. Re-measure if the reference
 code ever materializes (SURVEY.md §6).
+
+Note the default measures the production recipe, whose half-res VGG pass
+does ~58% of the reference loss FLOPs (accuracy-positive — see
+docs/artifacts/sweep_tps.md): it is an end-to-end training-rate ratio,
+not FLOP-for-FLOP. The like-for-like full-resolution workload is
+`--loss-input-scale 1` (~1477 img/s, 14.8x).
 """
 
 from __future__ import annotations

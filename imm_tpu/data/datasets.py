@@ -112,6 +112,13 @@ def prefetch_iterator(it, depth: int = 2):
     the source iterator propagate to the consumer; exhaustion ends the
     stream. ``jax.device_put``/``make_array_from_process_local_data`` are
     thread-safe, so the producer may build global arrays.
+
+    Pass a FINITE ``it`` (e.g. ``itertools.islice`` bounded to the number of
+    batches the consumer will pull) so the producer thread terminates and
+    its buffered device arrays are released; with an infinite source the
+    daemon thread stays blocked on a full queue for the process lifetime.
+    The thread starts lazily on the first pull, so merely building a
+    pipeline (e.g. an eval-only experiment that never trains) does no work.
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
 
@@ -120,17 +127,16 @@ def prefetch_iterator(it, depth: int = 2):
             for item in it:
                 q.put(item)
             q.put(_STOP)
-        except BaseException as e:  # surface producer failures to the consumer
+        except Exception as e:  # surface producer failures to the consumer
             q.put(e)
 
-    threading.Thread(target=_run, daemon=True).start()
-
     def _gen():
+        threading.Thread(target=_run, daemon=True).start()
         while True:
             item = q.get()
             if item is _STOP:
                 return
-            if isinstance(item, BaseException):
+            if isinstance(item, Exception):
                 raise RuntimeError("prefetch producer failed") from item
             yield item
 

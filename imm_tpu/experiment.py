@@ -199,9 +199,22 @@ def build_experiment(
         # Double-buffered host pipeline: super-batch stacking and the
         # host->device transfer for call N+1 overlap the device compute of
         # call N (decode prefetch lives in the dataset iterators themselves).
+        # The source is bounded to exactly what the trainer + the one viz
+        # batch can pull, so the producer thread terminates and releases its
+        # buffered device arrays when training ends (resume runs pull fewer
+        # and rely on the daemon flag). The thread starts on first pull, so
+        # eval-only builds (total_steps=0, never iterated) do no decode work.
+        import itertools
+
         from imm_tpu.data.datasets import prefetch_iterator
 
-        batches = prefetch_iterator(_device_batches(), depth=2)
+        # ceil + the viz batch + one slack pull (tests/diagnostics inspect a
+        # live batch after the run); leftovers ≤ depth so the producer can
+        # still flush its STOP sentinel and exit in the common paths.
+        n_calls = -(-steps // scan) + 2
+        batches = prefetch_iterator(
+            itertools.islice(_device_batches(), n_calls), depth=2
+        )
 
         def eval_builder():
             return dataset.eval_arrays("train"), dataset.eval_arrays("test")

@@ -145,7 +145,14 @@ def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
     # 42): give each variant a scratch workdir so Orbax checkpoints every
     # 1000 steps and a shell retry loop resumes instead of restarting.
     # After a resume the recorded curve covers only the final process's
-    # steps; `final` is always the converged number.
+    # steps; `final` is always the converged number. The workdir is keyed
+    # on (name, steps, overrides) so an edited variant under the same name
+    # never silently resumes a stale checkpoint from the old config.
+    import hashlib
+
+    cfg_key = hashlib.sha1(
+        f"{steps}|{'|'.join(overrides)}".encode()
+    ).hexdigest()[:8]
     config = apply_overrides(
         get_preset("synthetic"),
         [
@@ -153,7 +160,7 @@ def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
             "train.batch_size=128",
             f"train.total_steps={steps}",
             "eval_every=3000",
-            f"workdir=/tmp/sweep_work/{name}",
+            f"workdir=/tmp/sweep_work/{name}_{cfg_key}",
         ]
         + overrides,
     )
@@ -204,7 +211,17 @@ def main(argv=None):
     if os.path.exists(args.out):
         with open(args.out) as f:
             done = {json.loads(line)["variant"] for line in f if line.strip()}
-    names = args.only.split(",") if args.only else list(VARIANTS)
+    # Convergence variants bake in LR-decay boundaries sized for their own
+    # step budgets — only run them when named explicitly with --only (and
+    # the matching --steps/--out), never in the default 15k sweep.
+    names = (
+        args.only.split(",")
+        if args.only
+        else [
+            n for n in VARIANTS
+            if not n.startswith(("final_", "temporal_"))
+        ]
+    )
     unknown = sorted(set(names) - VARIANTS.keys())
     if unknown:  # fail in milliseconds, not hours into the sweep
         raise SystemExit(f"unknown variants {unknown}; options: {sorted(VARIANTS)}")
