@@ -119,8 +119,14 @@ def prefetch_iterator(it, depth: int = 2):
     daemon thread stays blocked on a full queue for the process lifetime.
     The thread starts lazily on the first pull, so merely building a
     pipeline (e.g. an eval-only experiment that never trains) does no work.
+
+    The queue reserves one extra slot beyond ``depth`` so the end-of-stream
+    sentinel always fits: if the consumer stops pulling with exactly
+    ``depth`` items left (e.g. a bounded source whose last batches go
+    unconsumed), the producer can still flush ``_STOP`` and exit instead of
+    pinning its buffered device arrays for the process lifetime.
     """
-    q: queue.Queue = queue.Queue(maxsize=depth)
+    q: queue.Queue = queue.Queue(maxsize=depth + 1)
 
     def _run():
         try:

@@ -5,6 +5,8 @@ pipeline here is the dependency-light threaded loader in ``datasets.py``. This
 module provides an equivalent ``tf.data``-backed feed for deployments where
 TF's parallel JPEG decode and prefetching are preferred — same contract
 (numpy batches of decoded/cropped/resized frames), TPS/jitter still on device.
+Selectable in production with ``data.host_pipeline='tfdata'`` (tps pair mode;
+temporal pair sampling stays on the threaded loader).
 
 TF is used CPU-only as a data library; nothing here touches the TPU.
 """
@@ -23,8 +25,13 @@ def tfdata_batches(
     seed: int = 0,
     shuffle_buffer: int = 4096,
     num_parallel: int = 8,
+    crop: tuple[int, int, int, int] | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """Infinite {'image': (B, S, S, 3) float32 [0,1]} stream via tf.data."""
+    """Infinite {'image': (B, S, S, 3) float32 [0,1]} stream via tf.data.
+
+    ``crop``: optional (y0, x0, h, w) pre-crop applied before the center
+    square, matching ``datasets._load_image`` (e.g. CelebA's face box).
+    """
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")  # CPU data pipeline only
@@ -32,6 +39,9 @@ def tfdata_batches(
     def decode(path):
         raw = tf.io.read_file(path)
         img = tf.io.decode_image(raw, channels=3, expand_animations=False)
+        if crop is not None:
+            cy, cx, ch, cw = crop
+            img = tf.image.crop_to_bounding_box(img, cy, cx, ch, cw)
         shape = tf.shape(img)
         side = tf.minimum(shape[0], shape[1])
         y0 = (shape[0] - side) // 2

@@ -150,6 +150,14 @@ def build_experiment(
             return _eval_cache[0]
 
     else:
+        pipeline = config.data.host_pipeline
+        if pipeline not in ("threaded", "tfdata"):
+            raise ValueError(f"unknown data.host_pipeline: {pipeline!r}")
+        if pipeline == "tfdata" and pair_mode == "temporal":
+            raise ValueError(
+                "data.host_pipeline='tfdata' supports tps pair mode only; "
+                "temporal pair sampling uses the threaded loader"
+            )
         step_fn = make_train_step(
             model, loss_fn, config.train, pair, pair_mode, scan_steps=scan,
             mesh=mesh,
@@ -176,6 +184,17 @@ def build_experiment(
         if pair_mode == "temporal":
             raw = dataset.train_pair_batches(
                 local_batch, seed=local_seed, shard=shard_spec
+            )
+        elif pipeline == "tfdata":
+            from imm_tpu.data.tfdata import tfdata_batches
+            from imm_tpu.parallel.distributed import shard_items
+
+            raw = tfdata_batches(
+                shard_items(dataset._train_files(), shard_spec),
+                image_size=config.model.image_size,
+                batch_size=local_batch,
+                seed=local_seed,
+                crop=dataset._crop(),
             )
         else:
             raw = dataset.train_batches(
@@ -221,20 +240,28 @@ def build_experiment(
 
     coords_fn = make_eval_coords_fn(model)
 
-    # Periodic image panels (the reference's TensorBoard summaries): a fixed
-    # small batch through pair synthesis + the model in eval mode. The jitted
+    # Periodic image panels (the reference's TensorBoard summaries existed for
+    # ALL datasets — SURVEY §5): a fixed small batch through pair synthesis +
+    # the model in eval mode, for both tps and temporal pair modes. The jitted
     # forward is defined ONCE (a per-call lambda would recompile every viz).
     _viz_cache: list = []
     _viz_key = jax.random.PRNGKey(1234)
 
     @jax.jit
-    def _viz_fwd(params, batch_stats, images):
-        src, tgt = pair(_viz_key, images)
+    def _viz_fwd(params, batch_stats, viz_batch):
+        if pair_mode == "tps":
+            src, tgt = pair(_viz_key, viz_batch["image"])
+        else:  # temporal: frame_a -> source (jittered), frame_b -> target
+            src, tgt = pair.temporal_pair(
+                _viz_key, viz_batch["image_a"], viz_batch["image_b"]
+            )
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         out = model.apply(variables, src, tgt, train=False)
         return src, tgt, out
+
+    _viz_keys = ("image",) if pair_mode == "tps" else ("image_a", "image_b")
 
     def viz_fn(state):
         from imm_tpu.utils.viz import training_summary_panel
@@ -242,24 +269,36 @@ def build_experiment(
         if not _viz_cache:
             if config.data.source == "synthetic":
                 viz_faces = SyntheticBlobFaces(image_size=config.model.image_size)
-                _viz_cache.append(viz_faces.sample(_viz_key, 4)["image"])
+                if pair_mode == "tps":
+                    _viz_cache.append(
+                        {"image": viz_faces.sample(_viz_key, 4)["image"]}
+                    )
+                else:
+                    p = viz_faces.sample_pair(_viz_key, 4)
+                    _viz_cache.append(
+                        {"image_a": p["image_a"], "image_b": p["image_b"]}
+                    )
             else:  # consume ONE training batch, once, and reuse
-                leaf = next(iter(batches))["image"]
+                b = next(iter(batches))
+
                 # On multi-host meshes the batch is a global array spanning
                 # non-addressable devices — eager slicing would raise. Read
                 # this process's local shards instead (batch axis is 1 for
                 # scan super-batches, else 0); works single-host too.
-                axis = 1 if scan > 1 else 0
-                local = np.concatenate(
-                    [np.asarray(s.data) for s in leaf.addressable_shards],
-                    axis=axis,
-                )
-                if scan > 1:  # strip the lax.scan super-batch axis
-                    local = local[0]
-                _viz_cache.append(jnp.asarray(local[:4]))
-        viz_images = _viz_cache[0]
+                def local_slice(leaf):
+                    axis = 1 if scan > 1 else 0
+                    local = np.concatenate(
+                        [np.asarray(s.data) for s in leaf.addressable_shards],
+                        axis=axis,
+                    )
+                    if scan > 1:  # strip the lax.scan super-batch axis
+                        local = local[0]
+                    return jnp.asarray(local[:4])
 
-        src, tgt, out = _viz_fwd(state.params, state.batch_stats, viz_images)
+                _viz_cache.append({k: local_slice(b[k]) for k in _viz_keys})
+        viz_batch = _viz_cache[0]
+
+        src, tgt, out = _viz_fwd(state.params, state.batch_stats, viz_batch)
         return training_summary_panel(
             np.asarray(src, np.float32),
             np.asarray(tgt, np.float32),
@@ -296,7 +335,7 @@ def build_experiment(
         seed=config.train.seed,
         eval_fn=eval_fn if config.eval_every else None,
         eval_every=config.eval_every,
-        viz_fn=viz_fn if (config.eval_every and pair_mode == "tps") else None,
+        viz_fn=viz_fn if config.eval_every else None,
     )
     return Experiment(
         config=config,

@@ -11,6 +11,10 @@ loss is *pluggable*:
 - ``feature_source='vgg'``: pretrained weights from disk if found;
 - ``feature_source='random_vgg'``: fixed random VGG features (deterministic
   seed) — a usable perceptual metric offline, and the default fallback;
+- ``feature_source='trained'``: the same VGG16 trunk with weights trained
+  offline by ``scripts/train_features.py`` (denoising objective on synthetic
+  frames — SURVEY.md §7 step 3b, the closest-to-real perceptual metric
+  buildable with no network);
 - ``feature_source='pixel'``: no feature network; pixel + multi-scale L2.
 
 Term balancing: raw per-layer L2s differ by orders of magnitude. The loss
@@ -39,7 +43,11 @@ from imm_tpu.models.vgg import (
 
 @dataclasses.dataclass(frozen=True, unsafe_hash=True)
 class PerceptualLossConfig:
-    feature_source: str = "auto"  # 'vgg' | 'random_vgg' | 'pixel' | 'auto'
+    # 'vgg' | 'random_vgg' | 'trained' | 'pixel' | 'auto'
+    feature_source: str = "auto"
+    # Weight file for feature_source='trained' (scripts/train_features.py
+    # writes it; relative paths resolve against the CWD).
+    trained_weights: str = "weights/trained_features.npz"
     taps: tuple[str, ...] = PERCEPTUAL_TAPS
     # bfloat16 feature extraction: the VGG is a *metric*, not the model —
     # bf16 keeps its convs on the MXU fast path and halves its HBM traffic.
@@ -69,6 +77,16 @@ class PerceptualLossConfig:
                     "set IMM_TPU_VGG16_WEIGHTS or use 'random_vgg'/'pixel'"
                 )
             return "vgg", path
+        if self.feature_source == "trained":
+            import os
+
+            if not os.path.exists(self.trained_weights):
+                raise FileNotFoundError(
+                    f"feature_source='trained' but {self.trained_weights!r} "
+                    "does not exist — train one with "
+                    "scripts/train_features.py first"
+                )
+            return "trained", self.trained_weights
         return self.feature_source, None
 
 
@@ -85,11 +103,11 @@ class ReconstructionLoss:
         self.config = config
         source, path = config.resolve_source()
         self.source = source
-        if source in ("vgg", "random_vgg"):
+        if source in ("vgg", "trained", "random_vgg"):
             self._vgg = VGG16Features(
                 taps=config.taps, dtype=jnp.dtype(config.compute_dtype)
             )
-            if source == "vgg":
+            if source in ("vgg", "trained"):
                 self.vgg_params = load_vgg16_params(path)
             else:
                 self.vgg_params = random_vgg16_params(config.vgg_seed)

@@ -40,6 +40,10 @@ class IMMConfig:
     norm: str = "batch"
     compute_dtype: str = "float32"  # 'bfloat16' for TPU training
     bottleneck_impl: str = "auto"  # 'xla' | 'pallas' | 'auto'
+    # Space-to-depth block for the encoders' stride-1 entry conv (0 = direct
+    # conv). An exact reformulation (ops/s2dconv.py) — same function, MXU-
+    # friendly schedule for the ~5 TFLOP/s 7x7 3->32 conv; see PERFORMANCE.md.
+    entry_s2d: int = 0
     # Set to the mesh data-axis name (e.g. 'data') when the train step runs
     # under shard_map so BatchNorm pmeans statistics across shards.
     axis_name: str | None = None
@@ -85,12 +89,12 @@ class IMM(nn.Module):
     def setup(self):
         c = self.config
         self.content_encoder = ContentEncoder(
-            c.filters, c.strides, c.norm, c.dtype, c.axis_name,
+            c.filters, c.strides, c.norm, c.dtype, c.axis_name, c.entry_s2d,
             name="content_encoder",
         )
         self.pose_encoder = PoseEncoder(
             c.n_landmarks, c.filters, c.strides, c.norm, c.dtype, c.axis_name,
-            name="pose_encoder",
+            c.entry_s2d, name="pose_encoder",
         )
         self.decoder = Decoder(
             c.decoder_filters, 3, c.norm, c.dtype, c.axis_name, name="decoder"

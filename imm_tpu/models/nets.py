@@ -32,6 +32,11 @@ class ConvBlock(nn.Module):
     ``axis_name``: when the step runs under ``shard_map``, BatchNorm must
     pmean its statistics across the data axis explicitly (under plain pjit
     the global batch mean emerges from sharding propagation instead).
+
+    ``s2d_block``: > 0 runs the conv through the exact space-to-depth
+    reformulation (``ops/s2dconv.py``) — same function, MXU-friendly
+    schedule for low-channel stride-1 convs (the entry conv). The kernel
+    parameter keeps its canonical (kh, kw, cin, cout) shape.
     """
 
     features: int
@@ -40,18 +45,40 @@ class ConvBlock(nn.Module):
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
+    s2d_block: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            use_bias=self.norm == "none",
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if self.s2d_block > 0:
+            if self.stride != 1:
+                raise ValueError("s2d_block applies to stride-1 convs only")
+            from imm_tpu.ops.s2dconv import s2d_conv
+
+            kernel = self.param(
+                "s2d_kernel",
+                nn.initializers.lecun_normal(),
+                (self.kernel, self.kernel, x.shape[-1], self.features),
+                jnp.float32,
+            )
+            x = s2d_conv(
+                x.astype(self.dtype), kernel.astype(self.dtype), self.s2d_block
+            )
+            if self.norm == "none":
+                bias = self.param(
+                    "s2d_bias", nn.initializers.zeros, (self.features,),
+                    jnp.float32,
+                )
+                x = x + bias.astype(self.dtype)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                use_bias=self.norm == "none",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         if self.norm == "batch":
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -80,13 +107,22 @@ class EncoderTrunk(nn.Module):
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
+    entry_s2d: int = 0  # space-to-depth block for the entry conv (0 = direct)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
+        if self.entry_s2d > 0 and self.strides[0] != 1:
+            raise ValueError(
+                "entry_s2d reformulates the stride-1 entry conv; this trunk's "
+                f"first stride is {self.strides[0]}"
+            )
         for i, (f, s) in enumerate(zip(self.filters, self.strides)):
             k = self.first_kernel if i == 0 else 3
-            x = ConvBlock(f, k, s, self.norm, self.dtype, self.axis_name)(x, train)
+            s2d = self.entry_s2d if i == 0 else 0
+            x = ConvBlock(
+                f, k, s, self.norm, self.dtype, self.axis_name, s2d
+            )(x, train)
         return x
 
 
@@ -98,12 +134,13 @@ class ContentEncoder(nn.Module):
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
+    entry_s2d: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         return EncoderTrunk(
             self.filters, self.strides, 7, self.norm, self.dtype,
-            self.axis_name, name="trunk",
+            self.axis_name, self.entry_s2d, name="trunk",
         )(x, train)
 
 
@@ -116,12 +153,13 @@ class PoseEncoder(nn.Module):
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
+    entry_s2d: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = EncoderTrunk(
             self.filters, self.strides, 7, self.norm, self.dtype,
-            self.axis_name, name="trunk",
+            self.axis_name, self.entry_s2d, name="trunk",
         )(x, train)
         # 1x1 heatmap head; raw activations feed the spatial softmax.
         return nn.Conv(

@@ -121,27 +121,56 @@ def load_vgg16_params(path: str) -> Any:
     Keras-style ``block{b}_conv{i}`` names. h5: the Keras applications layout.
 
     Channel convention: this module feeds **RGB** images (``preprocess``).
-    Keras/caffe-lineage VGG16 was trained on BGR input, so wherever the key
-    format signals that lineage — the .h5 layout or Keras-style
-    ``block{b}_conv{i}`` npz keys — conv1_1's input channels are flipped at
-    load time: conv(RGB − mean_RGB) is then bit-identical to the original
+    Keras/caffe-lineage VGG16 was trained on BGR input, so BGR-lineage
+    weights need conv1_1's input channels flipped at load time:
+    conv(RGB − mean_RGB) is then bit-identical to the original
     conv(BGR − mean_BGR), since per-channel mean subtraction commutes with
-    the channel permutation. Only ``conv{b}_{i}``-keyed npz files (this
-    module's own export format) are assumed RGB-ready.
+    the channel permutation.
+
+    Which files get the flip:
+
+    - ``.h5`` (the Keras applications layout): always BGR lineage — flipped.
+    - npz with ``conv{b}_{i}``-keys (this module's own export format):
+      RGB-ready by contract — never flipped.
+    - npz with Keras-style ``block{b}_conv{i}`` keys: **ambiguous** — the key
+      style *suggests* an un-adapted Keras export (BGR), but a user may have
+      pre-flipped per an earlier version of this docstring. An optional
+      ``channel_order`` entry (scalar/0-d string ``'rgb'`` or ``'bgr'``)
+      disambiguates explicitly; without it the loader assumes BGR (flips)
+      and emits a ``UserWarning`` naming the assumption, so a double-flip is
+      loud instead of silent.
     """
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     if path.endswith(".npz"):
         data = np.load(path)
+        order = None
+        if "channel_order" in data:
+            order = str(np.asarray(data["channel_order"]).item()).lower()
+            if order not in ("rgb", "bgr"):
+                raise ValueError(
+                    f"channel_order must be 'rgb' or 'bgr', got {order!r}"
+                )
 
         def get(name):
             b, i = int(name[4]), int(name[6])
             if f"{name}_kernel" in data:  # our RGB-ready export format
                 return data[f"{name}_kernel"], data[f"{name}_bias"]
             kk, bk = f"block{b}_conv{i}_kernel", f"block{b}_conv{i}_bias"
-            if kk in data:  # Keras-style keys: caffe-lineage BGR weights
+            if kk in data:  # Keras-style keys
                 kernel = data[kk]
-                if name == "conv1_1":
+                if name == "conv1_1" and order != "rgb":
+                    if order is None:
+                        import warnings
+
+                        warnings.warn(
+                            f"{path}: Keras-style npz keys without a "
+                            "'channel_order' marker — assuming BGR lineage "
+                            "and flipping conv1_1 input channels to RGB. If "
+                            "these weights were already RGB-adapted, add "
+                            "channel_order='rgb' to the npz.",
+                            stacklevel=3,
+                        )
                     kernel = kernel[:, :, ::-1, :]
                 return kernel, data[bk]
             raise KeyError(f"no weights for {name} in {path}")
@@ -168,6 +197,23 @@ def load_vgg16_params(path: str) -> Any:
 
             return _params_from_arrays(get)
     raise ValueError(f"unsupported VGG16 weight format: {path}")
+
+
+def save_vgg16_params(params: Any, path: str) -> None:
+    """Export a VGG16Features param tree to this module's npz format.
+
+    Written in the RGB-ready ``conv{b}_{i}_kernel/_bias`` convention with an
+    explicit ``channel_order='rgb'`` marker, so :func:`load_vgg16_params`
+    round-trips without any flip inference. Used by
+    ``scripts/train_features.py`` to freeze the offline-trained feature
+    extractor (SURVEY.md §7 step 3b).
+    """
+    flat: dict[str, np.ndarray] = {"channel_order": np.asarray("rgb")}
+    for name, leaf in params.items():
+        flat[f"{name}_kernel"] = np.asarray(leaf["kernel"], np.float32)
+        flat[f"{name}_bias"] = np.asarray(leaf["bias"], np.float32)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
 
 
 def find_vgg16_weights() -> str | None:

@@ -32,16 +32,29 @@ def initialize_multihost(**kwargs) -> None:
     """
     import os
 
+    def _int(v):
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return 0
+
     # Any signal that this is meant to be a multi-host run. Covers the
-    # explicit kwarg plus the env vars jax's cluster auto-detection reads;
-    # auto-detected TPU-pod metadata can't be probed from here, so a pod
-    # whose only signal is the metadata server still needs initialize_
-    # multihost() called before any backend touch (the CLI does).
+    # explicit kwarg, the coordinator env vars, and the cluster signals
+    # jax's auto-detection reads (SLURM, TPU pods, megascale) — a pod whose
+    # only intent signal is one of these must NOT silently degrade to N
+    # independent single-host trainings. Auto-detected cloud metadata
+    # (GCE metadata server) can't be probed from here, so such a pod still
+    # needs initialize_multihost() called before any backend touch (the
+    # CLI does).
     multihost_intent = bool(
         kwargs.get("coordinator_address")
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or _int(os.environ.get("SLURM_JOB_NUM_NODES")) > 1
+        or _int(os.environ.get("SLURM_NNODES")) > 1
+        or len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+        or _int(os.environ.get("MEGASCALE_NUM_SLICES")) > 1
     )
     try:
         jax.distributed.initialize(**kwargs)
@@ -52,6 +65,18 @@ def initialize_multihost(**kwargs) -> None:
             # backends already initialized in a single-process context
             # (tests, notebooks): harmless. With a configured coordinator
             # this ordering bug would silently drop multi-host — raise.
+            # Belt-and-braces for clusters whose only signal is metadata
+            # auto-detection: if the already-up backends somehow DO span
+            # processes, the swallow would be wrong — shout.
+            if jax.process_count() > 1:
+                import logging
+
+                logging.getLogger("imm_tpu").warning(
+                    "jax.distributed.initialize arrived after backend init "
+                    "in a %d-process job — multi-host setup may be "
+                    "incomplete; call initialize_multihost() first",
+                    jax.process_count(),
+                )
             return
         raise
     except ValueError:

@@ -25,6 +25,10 @@ class DataConfig:
     source: str = "synthetic"  # 'synthetic' | 'celeba' | 'aflw' | 'cats' | 'human36m'
     root: str = ""  # dataset root for file-backed sources
     pair_mode: str = "tps"  # 'tps' | 'temporal'
+    # Host-side decode/batch pipeline for file-backed sources:
+    # 'threaded' (default, dependency-light) | 'tfdata' (tf.data parallel
+    # decode — tps pair mode only; see imm_tpu.data.tfdata).
+    host_pipeline: str = "threaded"
     eval_norm: str = "iod"  # 'iod' | 'size'
     iod_points: tuple[int, int] = (0, 1)
 

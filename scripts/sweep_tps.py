@@ -133,6 +133,27 @@ VARIANTS.update(
     }
 )
 
+# Round-3 A/B (VERDICT r2 #2): the offline-TRAINED feature extractor
+# (scripts/train_features.py, SURVEY §7 step 3b) against the random-VGG
+# stand-in, on the exact K=10 and K=30 convergence recipes whose random-VGG
+# results are 5.90 / 2.24 %IOD at 60k (docs/artifacts/final_runs.jsonl).
+_TRAINED = ["loss.feature_source=trained"]
+VARIANTS.update(
+    {
+        "final_ind_2x_trainedfeat_60k": VARIANTS["final_ind_2x_halfvgg_60k"]
+        + _TRAINED,
+        "final_ind_3x_k30_trainedfeat_60k": VARIANTS[
+            "final_ind_3x_k30_halfvgg_60k"
+        ]
+        + _TRAINED,
+        # 15k probes for a fast read before committing 60k steps
+        "ind_2x_trainedfeat": _IND_2X + ["loss.input_scale=2"] + _TRAINED,
+        "ind_3x_k30_trainedfeat": _CHAMP
+        + ["model.n_landmarks=30"]
+        + _TRAINED,
+    }
+)
+
 
 def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
     import jax
@@ -219,7 +240,10 @@ def main(argv=None):
         if args.only
         else [
             n for n in VARIANTS
+            # convergence runs and trained-feature A/Bs (which require
+            # weights/trained_features.npz to exist) run only via --only
             if not n.startswith(("final_", "temporal_"))
+            and "trainedfeat" not in n
         ]
     )
     unknown = sorted(set(names) - VARIANTS.keys())

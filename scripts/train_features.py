@@ -1,0 +1,149 @@
+"""Train the offline perceptual feature extractor (SURVEY.md §7 step 3b).
+
+No pretrained VGG16 weights exist on this machine (SURVEY.md §7 risk 1), so
+the perceptual loss has been running on *random* VGG features. This script
+trains the SAME ``VGG16Features`` trunk the loss uses — as the encoder of a
+U-Net denoiser on synthetic blob-face frames — then freezes the trunk to
+``weights/trained_features.npz`` (the loader's RGB-ready npz format, explicit
+``channel_order`` marker). Select it with ``loss.feature_source=trained``.
+
+Objective: reconstruct the clean frame from a corrupted one (additive noise
++ photometric jitter). Skip connections feed every perceptual tap
+(conv1_2/conv2_2/conv3_3/conv4_3) into the decoder, so ALL taps are pushed
+to encode clean image structure while becoming invariant to noise and global
+photometry — the property a perceptual metric needs and random features lack.
+
+Minutes on the chip. Usage:
+    python scripts/train_features.py [--steps 3000] [--out weights/trained_features.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--image-size", type=int, default=128)
+    parser.add_argument("--noise-sd", type=float, default=0.15)
+    parser.add_argument("--out", default="weights/trained_features.npz")
+    args = parser.parse_args(argv)
+
+    from imm_tpu.cli._common import enable_compile_cache
+
+    enable_compile_cache()
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from imm_tpu.data import SyntheticBlobFaces
+    from imm_tpu.models.nets import _upsample2x
+    from imm_tpu.models.vgg import (
+        PERCEPTUAL_TAPS,
+        VGG16Features,
+        save_vgg16_params,
+    )
+
+    class Denoiser(nn.Module):
+        """VGG16Features encoder + U-Net decoder over the perceptual taps."""
+
+        @nn.compact
+        def __call__(self, corrupted):
+            feats = VGG16Features(
+                taps=PERCEPTUAL_TAPS, dtype=jnp.bfloat16, name="vgg"
+            )(corrupted)
+            # decoder: conv4_3 (S/8) -> up -> +conv3_3 -> up -> +conv2_2
+            # -> up -> +conv1_2 -> RGB at full resolution
+            widths = {"conv4_3": 256, "conv3_3": 128, "conv2_2": 64, "conv1_2": 32}
+            x = feats["conv4_3"].astype(jnp.bfloat16)
+            for tap in ("conv4_3", "conv3_3", "conv2_2", "conv1_2"):
+                if tap != "conv4_3":
+                    x = jnp.concatenate(
+                        [_upsample2x(x), feats[tap].astype(jnp.bfloat16)],
+                        axis=-1,
+                    )
+                x = nn.Conv(
+                    widths[tap], (3, 3), padding="SAME",
+                    dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                )(x)
+                x = nn.relu(x)
+            out = nn.Conv(
+                3, (3, 3), padding="SAME",
+                dtype=jnp.bfloat16, param_dtype=jnp.float32, name="to_rgb",
+            )(x)
+            return out.astype(jnp.float32)
+
+    faces = SyntheticBlobFaces(image_size=args.image_size)
+    model = Denoiser()
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((2, args.image_size, args.image_size, 3), jnp.float32)
+    params = model.init(rng, dummy)["params"]
+
+    steps = args.steps
+    lr = optax.piecewise_constant_schedule(
+        1e-3, {int(steps * 0.6): 0.3, int(steps * 0.85): 0.1}
+    )
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def corrupt(rng, image):
+        """Additive noise + global photometric jitter (structure preserved)."""
+        k_n, k_b, k_c = jax.random.split(rng, 3)
+        b = image.shape[0]
+        bright = jax.random.uniform(k_b, (b, 1, 1, 1), minval=-0.15, maxval=0.15)
+        contrast = jax.random.uniform(k_c, (b, 1, 1, 1), minval=0.7, maxval=1.3)
+        x = (image - 0.5) * contrast + 0.5 + bright
+        x = x + jax.random.normal(k_n, image.shape) * args.noise_sd
+        return jnp.clip(x, 0.0, 1.0)
+
+    def loss_fn(params, rng):
+        k_d, k_c = jax.random.split(rng)
+        clean = faces.sample(k_d, args.batch)["image"]
+        pred = model.apply({"params": params}, corrupt(k_c, clean))
+        return jnp.mean(jnp.square(pred - clean))
+
+    def one(carry, rng):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    scan_len = 20
+
+    @jax.jit
+    def run_window(carry, rng):
+        rngs = jax.random.split(rng, scan_len)
+        carry, losses = jax.lax.scan(one, carry, rngs)
+        return carry, losses.mean()
+
+    carry = (params, opt_state)
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    n_windows = max(1, steps // scan_len)
+    for i in range(n_windows):
+        rng, kk = jax.random.split(rng)
+        carry, loss = run_window(carry, kk)
+        if i % max(1, n_windows // 15) == 0 or i == n_windows - 1:
+            print(
+                f"step {(i + 1) * scan_len}/{steps} "
+                f"loss={float(loss):.5f} ({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+    params, _ = carry
+
+    save_vgg16_params(jax.device_get(params["vgg"]), args.out)
+    print(f"saved trained feature trunk -> {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

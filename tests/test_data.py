@@ -215,6 +215,32 @@ def test_prefetch_iterator_order_and_stop():
     assert out == list(range(7))
 
 
+def test_prefetch_sentinel_flushes_when_consumer_abandons():
+    """ADVICE r2: if the consumer stops pulling with exactly `depth` items
+    left, the producer must still be able to enqueue its STOP sentinel and
+    exit (the queue reserves a slot for it) instead of blocking forever and
+    pinning its buffered batches for the process lifetime."""
+    import threading
+    import time
+
+    from imm_tpu.data.datasets import prefetch_iterator
+
+    done = threading.Event()
+
+    def src():
+        yield from range(4)
+        done.set()  # reached only after every put (incl. STOP) succeeded
+
+    it = prefetch_iterator(src(), depth=2)
+    assert next(it) == 0
+    assert next(it) == 1
+    # abandon with 2 == depth items unconsumed; producer must still finish
+    deadline = time.time() + 5.0
+    while not done.is_set() and time.time() < deadline:
+        time.sleep(0.02)
+    assert done.is_set(), "producer blocked flushing its sentinel"
+
+
 def test_prefetch_iterator_propagates_producer_error():
     from imm_tpu.data.datasets import prefetch_iterator
 

@@ -46,6 +46,67 @@ def test_initialize_multihost_is_safe_single_process():
     initialize_multihost()
 
 
+def test_two_process_training_identical_params(tmp_path):
+    """A REAL 2-process jax.distributed group on localhost (VERDICT r2 #5):
+    coordinator + 2 subprocesses x 4 virtual CPU devices, a global 8-device
+    mesh, and >= 2 host-fed scan dispatches where each process feeds only its
+    local half of the global batch — the make_array_from_process_local_data
+    seam no single-process test can cross. Replicated params must come out
+    bitwise-identical on both processes."""
+    import socket
+    import subprocess
+    import sys
+
+    from test_data import _make_celeba
+
+    root = str(tmp_path / "celeba")
+    _make_celeba(root, n=16)
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(out)
+    with socket.socket() as s:  # pick a free localhost port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        # don't inherit the parent suite's 8-device flag; the worker sets 4
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", coord, root, out],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=420)
+            outputs.append(stdout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, stdout in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
+
+    a = np.load(os.path.join(out, "params_p0.npz"))
+    b = np.load(os.path.join(out, "params_p1.npz"))
+    assert set(a.files) == set(b.files) and len(a.files) > 0
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_dataset_shard_slices_files(tmp_path):
     pytest.importorskip("cv2")
     from test_data import _make_celeba  # reuse the fixture builder

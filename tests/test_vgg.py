@@ -127,18 +127,26 @@ def test_random_params_deterministic():
     )
 
 
-def test_npz_keras_keys_flip_conv1_1(tmp_path):
-    """Keras-style npz keys signal caffe/BGR lineage -> conv1_1 flipped,
-    exactly like the .h5 path; our own conv{b}_{i} keys load untouched."""
-    arrays = _tiny_weight_arrays()
-    path = str(tmp_path / "keras_style.npz")
+def _write_keras_style_npz(path, arrays, channel_order=None):
     flat = {}
     for name, (k, b) in arrays.items():
         blk, idx = int(name[4]), int(name[6])
         flat[f"block{blk}_conv{idx}_kernel"] = k
         flat[f"block{blk}_conv{idx}_bias"] = b
+    if channel_order is not None:
+        flat["channel_order"] = np.asarray(channel_order)
     np.savez(path, **flat)
-    params = load_vgg16_params(path)
+
+
+def test_npz_keras_keys_flip_conv1_1(tmp_path):
+    """Keras-style npz keys *suggest* caffe/BGR lineage -> conv1_1 flipped
+    like the .h5 path, but with a UserWarning because the inference is
+    ambiguous (ADVICE r2 medium); our own conv{b}_{i} keys load untouched."""
+    arrays = _tiny_weight_arrays()
+    path = str(tmp_path / "keras_style.npz")
+    _write_keras_style_npz(path, arrays)
+    with pytest.warns(UserWarning, match="assuming BGR"):
+        params = load_vgg16_params(path)
     np.testing.assert_array_equal(
         np.asarray(params["conv1_1"]["kernel"]),
         arrays["conv1_1"][0][:, :, ::-1, :],
@@ -146,3 +154,73 @@ def test_npz_keras_keys_flip_conv1_1(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["conv1_2"]["kernel"]), arrays["conv1_2"][0]
     )
+
+
+def test_save_load_roundtrip_and_trained_source(tmp_path, recwarn):
+    """save_vgg16_params -> load_vgg16_params round-trips bitwise with no
+    warning, and feature_source='trained' wires the weights into the
+    perceptual loss (SURVEY §7 step 3b)."""
+    import jax.numpy as jnp
+
+    from imm_tpu.losses.perceptual import (
+        PerceptualLossConfig,
+        ReconstructionLoss,
+    )
+    from imm_tpu.models.vgg import save_vgg16_params
+
+    params = random_vgg16_params(7)
+    path = str(tmp_path / "weights" / "trained_features.npz")
+    save_vgg16_params(params, path)
+    loaded = load_vgg16_params(path)
+    for name in ("conv1_1", "conv2_2", "conv4_3"):
+        np.testing.assert_array_equal(
+            np.asarray(params[name]["kernel"]),
+            np.asarray(loaded[name]["kernel"]),
+        )
+    assert not [w for w in recwarn if issubclass(w.category, UserWarning)]
+
+    cfg = PerceptualLossConfig(feature_source="trained", trained_weights=path)
+    loss = ReconstructionLoss(cfg)
+    assert loss.source == "trained"
+    np.testing.assert_array_equal(
+        np.asarray(loss.vgg_params["conv1_1"]["kernel"]),
+        np.asarray(params["conv1_1"]["kernel"]),
+    )
+    a = jnp.zeros((2, 32, 32, 3)) + 0.3
+    b = jnp.zeros((2, 32, 32, 3)) + 0.6
+    total, _, _ = loss(a, b, loss.init_ema(), step=0)
+    assert np.isfinite(float(total)) and float(total) > 0
+
+    missing = PerceptualLossConfig(
+        feature_source="trained", trained_weights=str(tmp_path / "nope.npz")
+    )
+    with pytest.raises(FileNotFoundError, match="train_features"):
+        ReconstructionLoss(missing)
+
+
+def test_npz_channel_order_marker_disambiguates(tmp_path, recwarn):
+    """An explicit channel_order entry overrides the key-style inference:
+    'rgb' blocks the flip (pre-adapted exports stay correct), 'bgr' flips
+    silently — neither path warns."""
+    arrays = _tiny_weight_arrays()
+
+    p_rgb = str(tmp_path / "rgb.npz")
+    _write_keras_style_npz(p_rgb, arrays, channel_order="rgb")
+    params = load_vgg16_params(p_rgb)
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1_1"]["kernel"]), arrays["conv1_1"][0]
+    )
+
+    p_bgr = str(tmp_path / "bgr.npz")
+    _write_keras_style_npz(p_bgr, arrays, channel_order="bgr")
+    params = load_vgg16_params(p_bgr)
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1_1"]["kernel"]),
+        arrays["conv1_1"][0][:, :, ::-1, :],
+    )
+    assert not [w for w in recwarn if issubclass(w.category, UserWarning)]
+
+    p_bad = str(tmp_path / "bad.npz")
+    _write_keras_style_npz(p_bad, arrays, channel_order="grb")
+    with pytest.raises(ValueError, match="channel_order"):
+        load_vgg16_params(p_bad)
