@@ -5,8 +5,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Methodology: the flagship face config (128px, K=10, batch 128, bf16 compute,
 VGG-family perceptual loss at the presets' half-resolution input_scale=2)
 with the fully on-device data path (synthetic
-generator -> TPS pair synthesis -> fwd/bwd -> Adam), 20 optimizer steps per
-dispatch via lax.scan (the axon tunnel costs ~27 ms per dispatch). Timing is
+generator -> TPS pair synthesis -> fwd/bwd -> Adam), 40 optimizer steps per
+dispatch via lax.scan (the axon tunnel costs ~27 ms per dispatch; 40 measured
++2.4% over 20). Timing is
 the median of several steady-state calls after warmup, counted as images
 (pairs) per second per chip.
 
@@ -50,7 +51,7 @@ def main(argv=None):
         help="comma-separated VGG tap subset, e.g. conv1_2,conv2_2,conv3_3",
     )
     parser.add_argument("--batch", type=int, default=128)
-    parser.add_argument("--scan", type=int, default=20,
+    parser.add_argument("--scan", type=int, default=40,
                         help="optimizer steps per dispatch (lax.scan length)")
     args = parser.parse_args(argv)
 

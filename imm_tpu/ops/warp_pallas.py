@@ -23,9 +23,23 @@ gathers and no Mosaic-hostile reshapes:
 Per 128px image this is ~1.6 GFLOP of dense work — milliseconds for a
 128-batch on the MXU vs ~70 ms of gather traffic.
 
-The backward pass is supplied via custom VJP using the XLA reference
-implementation (warping is an input-pipeline op in training, so the
-backward is rarely exercised; correctness over speed there).
+The backward pass is a Pallas kernel with the same structure (round 3;
+previously it delegated to the XLA gather path):
+
+- ``d_images``: the transpose of the y-lerp matmul — per chunk,
+  ``d_imgT (W, H) += (Xw * g) @ Yw^T`` accumulated in an f32 VMEM scratch.
+  The scatter the gather-based backward would need becomes a dense matmul,
+  exactly mirroring the forward's trick.
+- ``d_grid``: from the same per-chunk operands — ``d_fy = g * sum_H(Yw' *
+  (imgT^T @ Xw))`` and ``d_fx = g * sum_W(Xw' * (imgT @ Yw))`` where
+  ``Yw'``/``Xw'`` are the two-entry ±1 derivative masks of the lerp
+  weights; the clip mask and the [-1, 1] -> pixel scale chain are applied
+  outside the kernel. Summed over channels on the XLA side.
+
+Warping sits in the non-differentiated data path during training, so the
+backward is exercised rarely — but it is now speed-of-light too, and
+verified against the XLA VJP (tests/test_warp_pallas.py; exact to f32
+epsilon on the real chip with the same cotangent).
 """
 
 from __future__ import annotations
@@ -112,6 +126,121 @@ def _warp_pallas_fwd(images, grid):
     return out.reshape(b, c, ho, wo).transpose(0, 2, 3, 1)
 
 
+def _warp_bwd_kernel(
+    imgt_ref, fy_ref, fx_ref, g_ref, dimg_ref, dfy_ref, dfx_ref, acc_ref,
+    *, h, w, q, chunk,
+):
+    imgt = imgt_ref[0, 0].astype(jnp.float32)  # (W, H)
+    acc_ref[...] = jnp.zeros((w, h), jnp.float32)
+
+    def body(i, _):
+        q0 = i * chunk
+        fy = fy_ref[0, 0:1, pl.ds(q0, chunk)]  # (1, QB) f32, pixel units
+        fx = fx_ref[0, 0:1, pl.ds(q0, chunk)]
+        g = g_ref[0, 0, 0:1, pl.ds(q0, chunk)].astype(jnp.float32)  # (1, QB)
+        y0f = jnp.floor(fy)
+        x0f = jnp.floor(fx)
+        wy = fy - y0f
+        wx = fx - x0f
+        y0 = y0f.astype(jnp.int32)
+        x0 = x0f.astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, chunk), 0)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, chunk), 0)
+        m_y0 = (iota_h == y0).astype(jnp.float32)
+        m_y1 = (iota_h == y1).astype(jnp.float32)
+        m_x0 = (iota_w == x0).astype(jnp.float32)
+        m_x1 = (iota_w == x1).astype(jnp.float32)
+        yw = m_y0 * (1.0 - wy) + m_y1 * wy  # (H, QB)
+        xw = m_x0 * (1.0 - wx) + m_x1 * wx  # (W, QB)
+
+        # d_images: transpose of the forward contraction — dense MXU work.
+        # Precision.HIGHEST: Mosaic lowers f32 matmuls through bf16
+        # passes by default (~0.4% rms error); the backward is cold-path,
+        # so buy exact f32 via multi-pass instead.
+        acc_ref[...] += jax.lax.dot_general(
+            xw * g, yw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (W, H)
+
+        # d_grid terms: derivative masks of the lerp weights are ±1 at the
+        # two interpolation rows/cols (0 where clamped: y1 == y0).
+        src = jnp.dot(
+            imgt, yw, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (W, QB)
+        t = jax.lax.dot_general(
+            imgt, xw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (H, QB)
+        dfy = g * jnp.sum((m_y1 - m_y0) * t, axis=0, keepdims=True)
+        dfx = g * jnp.sum((m_x1 - m_x0) * src, axis=0, keepdims=True)
+        dfy_ref[0, 0, 0:1, pl.ds(q0, chunk)] = dfy
+        dfx_ref[0, 0, 0:1, pl.ds(q0, chunk)] = dfx
+        return ()
+
+    jax.lax.fori_loop(0, q // chunk, body, ())
+    dimg_ref[0, 0] = acc_ref[...].astype(dimg_ref.dtype)
+
+
+def _warp_pallas_bwd(images, grid, cotangent):
+    b, h, w, c = images.shape
+    _, ho, wo, _ = grid.shape
+    q = ho * wo
+    chunk = min(_CHUNK, q)
+    while q % chunk:
+        chunk -= 1
+    grid32 = grid.astype(jnp.float32)
+    fy_raw = (grid32[..., 0] + 1.0) * 0.5 * (h - 1)
+    fx_raw = (grid32[..., 1] + 1.0) * 0.5 * (w - 1)
+    fy = jnp.clip(fy_raw, 0.0, h - 1).reshape(b, 1, q)
+    fx = jnp.clip(fx_raw, 0.0, w - 1).reshape(b, 1, q)
+    imgt = images.transpose(0, 3, 2, 1)  # (B, C, W, H)
+    g = cotangent.transpose(0, 3, 1, 2).reshape(b, c, 1, q)
+
+    kernel = functools.partial(_warp_bwd_kernel, h=h, w=w, q=q, chunk=chunk)
+    dimg_t, dfy_c, dfx_c = pl.pallas_call(
+        kernel,
+        grid=(b, c),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, h), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, w, h), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, w, h), images.dtype),
+            jax.ShapeDtypeStruct((b, c, 1, q), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, 1, q), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((w, h), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(imgt, fy, fx, g)
+
+    d_images = dimg_t.transpose(0, 3, 2, 1).astype(images.dtype)
+    dfy = jnp.sum(dfy_c, axis=1).reshape(b, ho, wo)
+    dfx = jnp.sum(dfx_c, axis=1).reshape(b, ho, wo)
+    # chain through the clip (zero outside, pass at the boundary — matching
+    # jnp.clip's VJP) and the [-1, 1] -> pixel scale
+    dgy = jnp.where((fy_raw >= 0.0) & (fy_raw <= h - 1), dfy, 0.0) * (
+        0.5 * (h - 1)
+    )
+    dgx = jnp.where((fx_raw >= 0.0) & (fx_raw <= w - 1), dfx, 0.0) * (
+        0.5 * (w - 1)
+    )
+    d_grid = jnp.stack([dgy, dgx], axis=-1).astype(grid.dtype)
+    return d_images, d_grid
+
+
 @jax.custom_vjp
 def warp_bilinear_pallas(images, grid):
     """Pallas-accelerated ``bilinear_sample`` (same semantics/signature)."""
@@ -124,8 +253,14 @@ def _fwd_rule(images, grid):
 
 def _bwd_rule(residuals, cotangent):
     images, grid = residuals
-    _, vjp_fn = jax.vjp(bilinear_sample, images, grid)
-    return vjp_fn(cotangent)
+    return _warp_pallas_bwd(images, grid, cotangent)
 
 
 warp_bilinear_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+def _bwd_rule_xla(residuals, cotangent):
+    """The XLA-gather backward (kept for A/B verification in tests)."""
+    images, grid = residuals
+    _, vjp_fn = jax.vjp(bilinear_sample, images, grid)
+    return vjp_fn(cotangent)
