@@ -87,6 +87,18 @@ def main(argv=None):
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((2, args.image_size, args.image_size, 3), jnp.float32)
     params = model.init(rng, dummy)["params"]
+    # VGG16Features preprocesses to caffe scale ([0,255] - mean, i.e. ~±120);
+    # with lecun init and no normalization layers that ~70x input std rides
+    # through all 10 convs and the decoder (first-run initial loss: 2.6e4 —
+    # training barely escaped it). Rescale conv1_1 so post-conv1 activations
+    # are unit-scale; everything downstream then initializes sanely.
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: leaf / 120.0
+        if any(getattr(k, "key", None) == "conv1_1" for k in path)
+        and path[-1].key == "kernel"
+        else leaf,
+        params,
+    )
 
     steps = args.steps
     lr = optax.piecewise_constant_schedule(
