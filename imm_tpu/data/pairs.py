@@ -54,9 +54,18 @@ class PairSynthesizer:
         Static datasets: both outputs are warps of the input frame sharing a
         common component. Video datasets: call ``temporal_pair`` instead.
         """
+        source, target, _, _ = self.pair_with_params(rng, images)
+        return source, target
+
+    def pair_with_params(self, rng: jax.Array, images: jnp.ndarray):
+        """As ``__call__`` but also returns the two composed warp parameter
+        sets ``(source_params, target_params)`` (None when warping is off) —
+        consumed by the opt-in equivariance objective (``ops.tps.
+        tps_transform_points``), which needs the analytic warp maps."""
         c = self.config
         b = images.shape[0]
         k_shared, k_src, k_tgt, k_jit = jax.random.split(rng, 4)
+        params_s = params_t = None
         if c.enable_warp:
             # warp parameters/grids stay float32 even for bf16 images —
             # bf16 coordinates quantize to ~0.5px (see ops.image)
@@ -73,13 +82,13 @@ class PairSynthesizer:
                 k_tgt, b, c.rotsd[1], c.scalesd[1], c.transsd[1], c.warpsd[1],
                 c.n_grid, f32,
             )
+            params_s = combine_params(shared, ind_s)
+            params_t = combine_params(shared, ind_t)
             source = warp_image(
-                images, combine_params(shared, ind_s), n_grid=c.n_grid,
-                impl=c.warp_impl,
+                images, params_s, n_grid=c.n_grid, impl=c.warp_impl
             )
             target = warp_image(
-                images, combine_params(shared, ind_t), n_grid=c.n_grid,
-                impl=c.warp_impl,
+                images, params_t, n_grid=c.n_grid, impl=c.warp_impl
             )
         else:
             source, target = images, images
@@ -88,7 +97,7 @@ class PairSynthesizer:
                 k_jit, source, c.jitter_brightness, c.jitter_contrast,
                 c.jitter_channel,
             )
-        return source, target
+        return source, target, params_s, params_t
 
     def temporal_pair(
         self, rng: jax.Array, frame_a: jnp.ndarray, frame_b: jnp.ndarray

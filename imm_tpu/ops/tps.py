@@ -166,6 +166,51 @@ def tps_sampler_grid(
     return grid.reshape(b, h, w, 2)
 
 
+def tps_transform_points(
+    params: TPSParams, points: jnp.ndarray, n_grid: int = 4
+) -> jnp.ndarray:
+    """Evaluate the warp map at arbitrary points: (B, K, 2) -> (B, K, 2).
+
+    The dense sampling grid (``tps_sampler_grid``) IS this map evaluated on
+    the output-pixel lattice: warped_image[p] = base_image[T(p)]. Evaluating
+    T at *predicted landmark coordinates* instead lets a training objective
+    compare landmarks detected on two warps of the same base frame in the
+    shared base frame — the equivariance constraint (an opt-in EXTENSION
+    beyond the reference: ``train.equi_weight``; the reference has no such
+    term). Differentiable in ``points`` and ``params``.
+    """
+    dtype = params.cp_delta.dtype
+    points = points.astype(dtype)
+    b = params.cp_delta.shape[0]
+    n = n_grid * n_grid
+    cp = jnp.asarray(control_points(n_grid), dtype)  # (n, 2)
+
+    # Spline weights exactly as in tps_sampler_grid.
+    l_inv_np, _ = _tps_static(n_grid, 2, 2)  # basis unused; L_inv cached
+    l_inv = jnp.asarray(l_inv_np, dtype)
+    rhs = jnp.concatenate(
+        [params.cp_delta, jnp.zeros((b, 3, 2), dtype)], axis=1
+    )
+    weights = (l_inv @ rhs.transpose(1, 0, 2).reshape(n + 3, b * 2)).reshape(
+        n + 3, b, 2
+    ).transpose(1, 0, 2)  # (B, n+3, 2)
+
+    # Radial basis at the query points (float32; U(0) = 0).
+    d2 = jnp.sum((points[:, :, None, :] - cp[None, None, :, :]) ** 2, axis=-1)
+    u = jnp.where(d2 == 0.0, 0.0, d2 * jnp.log(jnp.maximum(d2, 1e-12)))
+    ones = jnp.ones(points.shape[:-1] + (1,), dtype)
+    basis = jnp.concatenate([u, ones, points], axis=-1)  # (B, K, n+3)
+    disp = jnp.einsum("bkn,bnd->bkd", basis, weights)
+
+    cos = (jnp.cos(params.rot) * jnp.exp(params.log_scale))[:, None]
+    sin = (jnp.sin(params.rot) * jnp.exp(params.log_scale))[:, None]
+    y = points[..., 0]
+    x = points[..., 1]
+    sim_y = cos * y - sin * x + params.trans[:, None, 0]
+    sim_x = sin * y + cos * x + params.trans[:, None, 1]
+    return jnp.stack([sim_y, sim_x], axis=-1) + disp
+
+
 def warp_image(
     images: jnp.ndarray,
     params: TPSParams,

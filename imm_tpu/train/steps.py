@@ -61,6 +61,7 @@ def _single_step(
     target: jnp.ndarray,
     nan_guard: bool = False,
     axis_name: str | None = None,
+    equi: tuple | None = None,
 ) -> tuple[TrainState, Metrics]:
     """One optimizer update given an already-synthesized (source, target).
 
@@ -69,6 +70,12 @@ def _single_step(
     (model config must carry the same axis name), and the local gradients
     are pmean'd into the global gradient, so the optimizer update is
     identical on every shard.
+
+    ``equi``: optional ``(params_s, params_t, n_grid, weight)`` — the
+    opt-in equivariance EXTENSION (TrainConfig.equi_weight): run the pose
+    encoder on the source too and penalize disagreement of the two
+    coordinate sets mapped into the shared base frame through the analytic
+    warps. Color jitter happens after warping, so source geometry is exact.
     """
 
     def objective(params):
@@ -81,6 +88,26 @@ def _single_step(
         total, new_ema, metrics = loss_fn(
             out.recon, target, state.loss_ema, state.step, axis_name
         )
+        if equi is not None:
+            from imm_tpu.ops.tps import tps_transform_points
+
+            params_s, params_t, n_grid, w_equi = equi
+            # Extra pose pass on the source; its BatchNorm statistics are
+            # discarded (the main pass owns the running stats).
+            (src_coords, _), _ = model.apply(
+                variables, source, train=True,
+                method=model.encode_pose, mutable=["batch_stats"],
+            )
+            base_s = tps_transform_points(params_s, src_coords, n_grid)
+            base_t = tps_transform_points(params_t, out.coords, n_grid)
+            equi_loss = jnp.mean(
+                jnp.sum(jnp.square(base_s - base_t), axis=-1)
+            )
+            if axis_name is not None:
+                equi_loss = jax.lax.pmean(equi_loss, axis_name)
+            total = total + w_equi * equi_loss
+            metrics = dict(metrics)
+            metrics["loss/equi"] = equi_loss
         new_stats = mutated.get("batch_stats", state.batch_stats)
         return total, (new_stats, new_ema, metrics)
 
@@ -132,6 +159,21 @@ def _single_step(
     return new_state, metrics
 
 
+def _check_equi(
+    train_config: TrainConfig, pair_synth: PairSynthesizer, pair_mode: str
+) -> bool:
+    """Validate the opt-in equivariance extension's preconditions."""
+    if train_config.equi_weight <= 0:
+        return False
+    if pair_mode != "tps" or not pair_synth.config.enable_warp:
+        raise ValueError(
+            "train.equi_weight needs TPS pair mode with warping enabled — "
+            "the objective maps predicted coordinates through the analytic "
+            "warps (temporal pairs have no known transform)"
+        )
+    return True
+
+
 def make_train_step(
     model: IMM,
     loss_fn: ReconstructionLoss,
@@ -155,20 +197,31 @@ def make_train_step(
     """
     optimizer = make_optimizer(train_config)
     axis = "data" if (mesh is not None and mesh.size > 1) else None
+    use_equi = _check_equi(train_config, pair_synth, pair_mode)
 
     def synth(rng, batch):
         if pair_mode == "tps":
-            return pair_synth(rng, batch["image"])
+            if use_equi:
+                s, t, ps, pt = pair_synth.pair_with_params(rng, batch["image"])
+                return s, t, (ps, pt, pair_synth.config.n_grid,
+                              train_config.equi_weight)
+            return (*pair_synth(rng, batch["image"]), None)
         if pair_mode == "temporal":
-            return pair_synth.temporal_pair(rng, batch["image_a"], batch["image_b"])
+            return (
+                *pair_synth.temporal_pair(
+                    rng, batch["image_a"], batch["image_b"]
+                ),
+                None,
+            )
         raise ValueError(f"unknown pair mode: {pair_mode!r}")
 
     def one(state, batch, rng):
-        source, target = synth(rng, batch)
+        source, target, equi = synth(rng, batch)
         return _single_step(
             model, loss_fn, optimizer, state, source, target,
             nan_guard=train_config.skip_nonfinite_updates,
             axis_name=axis,
+            equi=equi,
         )
 
     def core(state, batch, rng):
@@ -227,6 +280,7 @@ def make_synthetic_train_step(
     """
     optimizer = make_optimizer(train_config)
     axis = "data" if (mesh is not None and mesh.size > 1) else None
+    use_equi = _check_equi(train_config, pair_synth, pair_mode)
     local_batch = (
         train_config.batch_size // mesh.size if axis else train_config.batch_size
     )
@@ -236,8 +290,16 @@ def make_synthetic_train_step(
         batch = (
             sample_batch(k_data, local_batch) if axis else sample_batch(k_data)
         )
+        equi = None
         if pair_mode == "tps":
-            source, target = pair_synth(k_pair, batch["image"])
+            if use_equi:
+                source, target, ps, pt = pair_synth.pair_with_params(
+                    k_pair, batch["image"]
+                )
+                equi = (ps, pt, pair_synth.config.n_grid,
+                        train_config.equi_weight)
+            else:
+                source, target = pair_synth(k_pair, batch["image"])
         else:
             source, target = pair_synth.temporal_pair(
                 k_pair, batch["image_a"], batch["image_b"]
@@ -246,6 +308,7 @@ def make_synthetic_train_step(
             model, loss_fn, optimizer, state, source, target,
             nan_guard=train_config.skip_nonfinite_updates,
             axis_name=axis,
+            equi=equi,
         )
 
     def core(state, rng):

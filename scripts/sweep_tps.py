@@ -151,6 +151,31 @@ VARIANTS.update(
         "ind_3x_k30_trainedfeat": _CHAMP
         + ["model.n_landmarks=30"]
         + _TRAINED,
+        # noise-only denoising trunk (no photometric invariance — the 'both'
+        # trunk measured WORSE than random VGG at K=10: 7.21 vs 6.07):
+        # train_features.py --corruption noise --out weights/trained_features_noise.npz
+        "ind_2x_trainedfeat_noise": _IND_2X
+        + ["loss.input_scale=2"]
+        + _TRAINED
+        + ["loss.trained_weights=weights/trained_features_noise.npz"],
+    }
+)
+
+# Equivariance EXTENSION probes (train.equi_weight — NOT in the reference;
+# documented in train/state.py and COMPONENTS.md). Motivation: the oracle
+# controls show the K=10 unsupervised floor (5.90) sits 3.2x above the
+# architecture's supervised ceiling (1.87) — the reconstruction objective
+# under-constrains landmark placement at K=10.
+_K10_BASE = _IND_2X + ["loss.input_scale=2"]
+VARIANTS.update(
+    {
+        "ind_2x_equi03": _K10_BASE + ["train.equi_weight=0.3"],
+        "ind_2x_equi1": _K10_BASE + ["train.equi_weight=1.0"],
+        "final_ind_2x_equi_60k": _K10_BASE + [
+            "train.equi_weight=1.0",
+            "train.lr_boundaries=[35000,50000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
     }
 )
 

@@ -138,3 +138,70 @@ def test_color_jitter_properties():
     # zero-strength jitter is the identity (up to clipping)
     same = color_jitter(rng, imgs, brightness=0.0, contrast=0.0, channel_gain=0.0)
     np.testing.assert_allclose(np.asarray(same), np.asarray(imgs), atol=1e-6)
+
+
+def test_transform_points_matches_dense_grid():
+    """tps_transform_points evaluated on the output lattice must reproduce
+    tps_sampler_grid — they are the same analytic map."""
+    from imm_tpu.ops.image import normalized_grid
+    from imm_tpu.ops.tps import (
+        sample_tps_params,
+        tps_sampler_grid,
+        tps_transform_points,
+    )
+
+    params = sample_tps_params(
+        jax.random.PRNGKey(3), 2, rotsd=10.0, scalesd=0.1, transsd=0.1,
+        warpsd=0.02,
+    )
+    h = w = 9
+    dense = tps_sampler_grid(params, (h, w))  # (B, H, W, 2)
+    pts = normalized_grid(h, w).reshape(1, -1, 2).repeat(2, axis=0)
+    via_points = tps_transform_points(params, pts).reshape(2, h, w, 2)
+    np.testing.assert_allclose(
+        np.asarray(via_points), np.asarray(dense), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_equivariance_extension_trains():
+    """equi_weight > 0 adds a finite loss/equi term and still trains; the
+    extension refuses temporal mode (no analytic transform)."""
+    import dataclasses
+
+    import pytest
+
+    from imm_tpu.data.pairs import PairConfig, PairSynthesizer
+    from imm_tpu.losses.perceptual import (
+        PerceptualLossConfig,
+        ReconstructionLoss,
+    )
+    from imm_tpu.models.imm import IMMConfig
+    from imm_tpu.train.state import TrainConfig, create_train_state
+    from imm_tpu.train.steps import make_train_step
+
+    cfg = IMMConfig(
+        n_landmarks=5, image_size=32, filters=(8, 8, 16, 16),
+        strides=(1, 2, 1, 2), decoder_filters=(16, 8, 8),
+    )
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1))
+    )
+    tcfg = TrainConfig(
+        batch_size=4, lr_boundaries=(), lr_factors=(1.0,), equi_weight=1.0
+    )
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, loss_fn.n_terms
+    )
+    pair = PairSynthesizer(PairConfig())
+    step = make_train_step(model, loss_fn, tcfg, pair, "tps", donate=False)
+    batch = {"image": jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))}
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert "loss/equi" in metrics
+    assert np.isfinite(float(metrics["loss/equi"]))
+    assert np.isfinite(float(metrics["loss/total"]))
+
+    with pytest.raises(ValueError, match="equi_weight"):
+        make_train_step(model, loss_fn, tcfg, pair, "temporal", donate=False)
+    no_warp = PairSynthesizer(PairConfig(enable_warp=False))
+    with pytest.raises(ValueError, match="equi_weight"):
+        make_train_step(model, loss_fn, tcfg, no_warp, "tps", donate=False)
