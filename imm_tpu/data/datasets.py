@@ -245,6 +245,31 @@ class ImageDataset:
 
         return _PrefetchIterator(make_batch, n_batches)
 
+    def tfdata_batches(
+        self,
+        batch_size: int,
+        seed: int = 0,
+        shard: tuple[int, int] | None = None,
+    ) -> Iterator[dict[str, np.ndarray]]:
+        """tf.data-backed equivalent of :meth:`train_batches` (same contract:
+        infinite {'image': (B, S, S, 3)} stream, same crop semantics, same
+        interleaved multi-host sharding). Selected by
+        ``data.host_pipeline='tfdata'``; the pipeline choice lives here so
+        both feeds share one source of truth for files and cropping."""
+        from imm_tpu.data.tfdata import tfdata_batches
+        from imm_tpu.parallel.distributed import shard_items
+
+        files = shard_items(self._train_files(), shard)
+        if not files:
+            raise RuntimeError(f"no training images under {self.root}")
+        return tfdata_batches(
+            files,
+            image_size=self.image_size,
+            batch_size=batch_size,
+            seed=seed,
+            crop=self._crop(),
+        )
+
     def eval_arrays(self, split: str) -> dict[str, np.ndarray]:
         """Annotated split as arrays: image (N,S,S,3), landmarks (N,L,2) (y,x)."""
         records = self._eval_records(split)

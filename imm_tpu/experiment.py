@@ -186,15 +186,8 @@ def build_experiment(
                 local_batch, seed=local_seed, shard=shard_spec
             )
         elif pipeline == "tfdata":
-            from imm_tpu.data.tfdata import tfdata_batches
-            from imm_tpu.parallel.distributed import shard_items
-
-            raw = tfdata_batches(
-                shard_items(dataset._train_files(), shard_spec),
-                image_size=config.model.image_size,
-                batch_size=local_batch,
-                seed=local_seed,
-                crop=dataset._crop(),
+            raw = dataset.tfdata_batches(
+                local_batch, seed=local_seed, shard=shard_spec
             )
         else:
             raw = dataset.train_batches(

@@ -229,14 +229,15 @@ def _warp_pallas_bwd(images, grid, cotangent):
     d_images = dimg_t.transpose(0, 3, 2, 1).astype(images.dtype)
     dfy = jnp.sum(dfy_c, axis=1).reshape(b, ho, wo)
     dfx = jnp.sum(dfx_c, axis=1).reshape(b, ho, wo)
-    # chain through the clip (zero outside, pass at the boundary — matching
-    # jnp.clip's VJP) and the [-1, 1] -> pixel scale
-    dgy = jnp.where((fy_raw >= 0.0) & (fy_raw <= h - 1), dfy, 0.0) * (
-        0.5 * (h - 1)
-    )
-    dgx = jnp.where((fx_raw >= 0.0) & (fx_raw <= w - 1), dfx, 0.0) * (
-        0.5 * (w - 1)
-    )
+    # Chain through the clip with jnp.clip's OWN vjp so boundary semantics
+    # match bilinear_sample exactly (lax max/min split a tied gradient 0.5
+    # each way — a hand-rolled where-mask passed the full gradient at exact
+    # ties, i.e. 2x on identity-grid border pixels), then the [-1, 1] ->
+    # pixel scale.
+    _, vjp_y = jax.vjp(lambda v: jnp.clip(v, 0.0, float(h - 1)), fy_raw)
+    _, vjp_x = jax.vjp(lambda v: jnp.clip(v, 0.0, float(w - 1)), fx_raw)
+    dgy = vjp_y(dfy)[0] * (0.5 * (h - 1))
+    dgx = vjp_x(dfx)[0] * (0.5 * (w - 1))
     d_grid = jnp.stack([dgy, dgx], axis=-1).astype(grid.dtype)
     return d_images, d_grid
 

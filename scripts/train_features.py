@@ -13,8 +13,9 @@ Objective: reconstruct the clean frame from a corrupted one (additive noise
 to encode clean image structure while becoming invariant to noise and global
 photometry — the property a perceptual metric needs and random features lack.
 
-Minutes on the chip. Usage:
-    python scripts/train_features.py [--steps 3000] [--out weights/trained_features.npz]
+Minutes on the chip (the shipped weights/*.npz artifacts were trained with
+the default --steps 6000). Usage:
+    python scripts/train_features.py [--steps 6000] [--out weights/trained_features.npz]
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--steps", type=int, default=6000)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--image-size", type=int, default=128)
     parser.add_argument("--noise-sd", type=float, default=0.15)
