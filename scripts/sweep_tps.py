@@ -179,6 +179,29 @@ VARIANTS.update(
     }
 )
 
+# Noise-only trained trunk beat random VGG at K=10 (5.12 vs 6.07 at 15k,
+# still falling) — convergence runs + the combined trunk+equivariance probe.
+_DECAY60 = ["train.lr_boundaries=[35000,50000]", "train.lr_factors=[1.0,0.3,0.1]"]
+_NOISE_TRUNK = _TRAINED + [
+    "loss.trained_weights=weights/trained_features_noise.npz"
+]
+VARIANTS.update(
+    {
+        "final_ind_2x_noisefeat_60k": _K10_BASE + _NOISE_TRUNK + _DECAY60,
+        "final_ind_3x_k30_noisefeat_60k": _CHAMP
+        + ["model.n_landmarks=30"]
+        + _NOISE_TRUNK
+        + _DECAY60,
+        "ind_2x_noisefeat_equi1": _K10_BASE
+        + _NOISE_TRUNK
+        + ["train.equi_weight=1.0"],
+        "final_ind_2x_noisefeat_equi_60k": _K10_BASE
+        + _NOISE_TRUNK
+        + ["train.equi_weight=1.0"]
+        + _DECAY60,
+    }
+)
+
 
 def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
     import jax
@@ -268,7 +291,7 @@ def main(argv=None):
             # convergence runs and trained-feature A/Bs (which require
             # weights/trained_features.npz to exist) run only via --only
             if not n.startswith(("final_", "temporal_"))
-            and "trainedfeat" not in n
+            and "feat" not in n
         ]
     )
     unknown = sorted(set(names) - VARIANTS.keys())
