@@ -151,3 +151,36 @@ def test_shard_map_synthetic_step():
     shards = [np.asarray(s.data) for s in p0.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_shard_map_equivariance_step():
+    """The opt-in equivariance extension under shard_map: per-shard warps +
+    pmean'd loss term must train and keep replicas bitwise identical."""
+    import dataclasses
+
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1))
+    )
+    tcfg = TrainConfig(
+        batch_size=16, lr_boundaries=(), lr_factors=(1.0,), equi_weight=0.5
+    )
+    mesh = make_mesh(8)
+    cfg = dataclasses.replace(TINY, axis_name="data")
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, loss_fn.n_terms
+    )
+    pair = PairSynthesizer(PairConfig())
+    step = make_train_step(model, loss_fn, tcfg, pair, "tps", donate=False, mesh=mesh)
+    imgs = jnp.asarray(
+        np.random.default_rng(2).uniform(size=(16, 32, 32, 3)).astype(np.float32)
+    )
+    state2, metrics = step(
+        replicate(state, mesh), shard_batch({"image": imgs}, mesh),
+        jax.random.PRNGKey(5),
+    )
+    assert np.isfinite(float(metrics["loss/equi"]))
+    assert np.isfinite(float(metrics["loss/total"]))
+    p0 = jax.tree.leaves(state2.params)[0]
+    shards = [np.asarray(s.data) for s in p0.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
