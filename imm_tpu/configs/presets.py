@@ -110,6 +110,38 @@ PRESETS: dict[str, ExperimentConfig] = {
         loss=_TPU_LOSS,
         data=DataConfig(source="celeba", pair_mode="tps"),
     ),
+    # Best-known OFFLINE recipe on the synthetic harness (round-3 sweep,
+    # docs/artifacts/sweep_tps.md): ind_2x warps + half-res VGG + the
+    # noise-corruption TRAINED feature trunk + the equivariance extension.
+    # Requires weights/trained_features_noise.npz (scripts/train_features.py
+    # --corruption noise); errors with a pointer if absent.
+    "synthetic_best": ExperimentConfig(
+        name="synthetic_best",
+        model=IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16"),
+        train=dataclasses.replace(
+            _TPU_TRAIN_ONDEVICE,
+            batch_size=128,
+            total_steps=60_000,
+            lr_boundaries=(35_000, 50_000),
+            lr_factors=(1.0, 0.3, 0.1),
+            equi_weight=1.0,
+        ),
+        pair=dataclasses.replace(
+            _FACE_PAIR,
+            rotsd=(5.0, 5.0),
+            scalesd=(0.05, 0.05),
+            transsd=(0.05, 0.1),
+            warpsd=(0.001, 0.02),
+        ),
+        loss=dataclasses.replace(
+            _TPU_LOSS,
+            feature_source="trained",
+            trained_weights="weights/trained_features_noise.npz",
+        ),
+        data=DataConfig(source="synthetic", pair_mode="tps"),
+        eval_every=3000,
+        stall_timeout_s=900.0,
+    ),
     # CPU-smoke variant: "single-batch CPU train+eval" (driver config 1 note)
     "tiny_cpu": ExperimentConfig(
         name="tiny_cpu",
