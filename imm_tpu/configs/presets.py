@@ -113,6 +113,8 @@ PRESETS: dict[str, ExperimentConfig] = {
     # Best-known OFFLINE recipe on the synthetic harness (round-3 sweep,
     # docs/artifacts/sweep_tps.md): ind_2x warps + half-res VGG + the
     # noise-corruption TRAINED feature trunk + the equivariance extension.
+    # Converged result: 3.48 %IOD at 60k for K=10 (vs 5.90 without the two
+    # round-3 levers — docs/artifacts/final_runs.md).
     # Requires weights/trained_features_noise.npz (scripts/train_features.py
     # --corruption noise); errors with a pointer if absent.
     "synthetic_best": ExperimentConfig(

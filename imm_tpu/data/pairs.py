@@ -111,3 +111,33 @@ class PairSynthesizer:
                 c.jitter_channel,
             )
         return source, frame_b
+
+    def warp_view(self, rng: jax.Array, images: jnp.ndarray):
+        """One composed (shared∘individual-level) warp of ``images`` plus its
+        analytic parameters — the auxiliary view for the TEMPORAL-mode
+        equivariance extension, where the real frame pair has no known
+        transform so the known-warp constraint needs a view of its own.
+        Samples regardless of ``enable_warp`` (that flag gates *pair*
+        synthesis, which temporal mode doesn't use). The view is jittered
+        like a source so the constraint can't be satisfied photometrically.
+        """
+        c = self.config
+        k_a, k_b, k_jit = jax.random.split(rng, 3)
+        f32 = jnp.float32
+        b = images.shape[0]
+        p_a = sample_tps_params(
+            k_a, b, c.rotsd[0], c.scalesd[0], c.transsd[0], c.warpsd[0],
+            c.n_grid, f32,
+        )
+        p_b = sample_tps_params(
+            k_b, b, c.rotsd[1], c.scalesd[1], c.transsd[1], c.warpsd[1],
+            c.n_grid, f32,
+        )
+        params = combine_params(p_a, p_b)
+        view = warp_image(images, params, n_grid=c.n_grid, impl=c.warp_impl)
+        if c.enable_jitter:
+            view = color_jitter(
+                k_jit, view, c.jitter_brightness, c.jitter_contrast,
+                c.jitter_channel,
+            )
+        return view, params

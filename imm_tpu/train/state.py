@@ -41,13 +41,16 @@ class TrainConfig:
     # (lax.scan). >1 requires an on-device data source or stacked batches.
     steps_per_call: int = 1
     # EXTENSION (not in the reference — off by default keeps reference
-    # behavior): weight of an equivariance term for TPS pair mode. The pose
-    # encoder runs on the source too, both coordinate sets are mapped into
-    # the shared base frame through the analytic warps
+    # behavior): weight of an equivariance term. TPS mode: the pose encoder
+    # runs on the source too, both coordinate sets are mapped into the
+    # shared base frame through the analytic pair warps
     # (ops.tps.tps_transform_points), and their squared distance is
-    # penalized. Directly constrains landmark placement, which the K=10
-    # reconstruction objective alone under-determines (the supervised oracle
-    # reaches 1.87 %IOD where unsupervised floors at ~5.9 —
+    # penalized. Temporal mode: the frames share no known transform, so a
+    # fresh known warp of the TARGET is synthesized as an auxiliary view
+    # (PairSynthesizer.warp_view) and its coordinates are mapped back into
+    # the target frame. Directly constrains landmark placement, which the
+    # K=10 reconstruction objective alone under-determines (the supervised
+    # oracle reaches 1.87 %IOD where unsupervised floors at ~5.9 —
     # docs/artifacts/oracle_floor.md).
     equi_weight: float = 0.0
 

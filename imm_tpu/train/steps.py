@@ -71,11 +71,15 @@ def _single_step(
     are pmean'd into the global gradient, so the optimizer update is
     identical on every shard.
 
-    ``equi``: optional ``(params_s, params_t, n_grid, weight)`` — the
+    ``equi``: optional ``(view, params_v, params_t, n_grid, weight)`` — the
     opt-in equivariance EXTENSION (TrainConfig.equi_weight): run the pose
-    encoder on the source too and penalize disagreement of the two
-    coordinate sets mapped into the shared base frame through the analytic
-    warps. Color jitter happens after warping, so source geometry is exact.
+    encoder on an auxiliary ``view`` whose analytic warp ``params_v`` is
+    known, and penalize disagreement with the main pass's coordinates after
+    mapping both into a shared frame. TPS mode: view = source, the shared
+    frame is the base image (``params_t`` maps target coords into it).
+    Temporal mode: view = a fresh known warp of the target, the shared frame
+    IS the target (``params_t=None`` → identity). Color jitter happens after
+    warping, so view geometry is exact.
     """
 
     def objective(params):
@@ -91,15 +95,18 @@ def _single_step(
         if equi is not None:
             from imm_tpu.ops.tps import tps_transform_points
 
-            params_s, params_t, n_grid, w_equi = equi
-            # Extra pose pass on the source; its BatchNorm statistics are
-            # discarded (the main pass owns the running stats).
-            (src_coords, _), _ = model.apply(
-                variables, source, train=True,
+            view, params_v, params_t, n_grid, w_equi = equi
+            # Extra pose pass on the auxiliary view; its BatchNorm statistics
+            # are discarded (the main pass owns the running stats).
+            (view_coords, _), _ = model.apply(
+                variables, view, train=True,
                 method=model.encode_pose, mutable=["batch_stats"],
             )
-            base_s = tps_transform_points(params_s, src_coords, n_grid)
-            base_t = tps_transform_points(params_t, out.coords, n_grid)
+            base_s = tps_transform_points(params_v, view_coords, n_grid)
+            base_t = (
+                out.coords if params_t is None
+                else tps_transform_points(params_t, out.coords, n_grid)
+            )
             equi_loss = jnp.mean(
                 jnp.sum(jnp.square(base_s - base_t), axis=-1)
             )
@@ -165,11 +172,12 @@ def _check_equi(
     """Validate the opt-in equivariance extension's preconditions."""
     if train_config.equi_weight <= 0:
         return False
-    if pair_mode != "tps" or not pair_synth.config.enable_warp:
+    if pair_mode == "tps" and not pair_synth.config.enable_warp:
         raise ValueError(
-            "train.equi_weight needs TPS pair mode with warping enabled — "
+            "train.equi_weight in TPS pair mode needs warping enabled — "
             "the objective maps predicted coordinates through the analytic "
-            "warps (temporal pairs have no known transform)"
+            "pair warps (temporal mode instead synthesizes its own known "
+            "warp of the target, so enable_warp is not required there)"
         )
     return True
 
@@ -203,16 +211,19 @@ def make_train_step(
         if pair_mode == "tps":
             if use_equi:
                 s, t, ps, pt = pair_synth.pair_with_params(rng, batch["image"])
-                return s, t, (ps, pt, pair_synth.config.n_grid,
+                return s, t, (s, ps, pt, pair_synth.config.n_grid,
                               train_config.equi_weight)
             return (*pair_synth(rng, batch["image"]), None)
         if pair_mode == "temporal":
-            return (
-                *pair_synth.temporal_pair(
-                    rng, batch["image_a"], batch["image_b"]
-                ),
-                None,
+            k_pair, k_view = jax.random.split(rng)
+            s, t = pair_synth.temporal_pair(
+                k_pair, batch["image_a"], batch["image_b"]
             )
+            if use_equi:
+                view, pv = pair_synth.warp_view(k_view, t)
+                return s, t, (view, pv, None, pair_synth.config.n_grid,
+                              train_config.equi_weight)
+            return s, t, None
         raise ValueError(f"unknown pair mode: {pair_mode!r}")
 
     def one(state, batch, rng):
@@ -296,14 +307,19 @@ def make_synthetic_train_step(
                 source, target, ps, pt = pair_synth.pair_with_params(
                     k_pair, batch["image"]
                 )
-                equi = (ps, pt, pair_synth.config.n_grid,
+                equi = (source, ps, pt, pair_synth.config.n_grid,
                         train_config.equi_weight)
             else:
                 source, target = pair_synth(k_pair, batch["image"])
         else:
+            k_pair, k_view = jax.random.split(k_pair)
             source, target = pair_synth.temporal_pair(
                 k_pair, batch["image_a"], batch["image_b"]
             )
+            if use_equi:
+                view, pv = pair_synth.warp_view(k_view, target)
+                equi = (view, pv, None, pair_synth.config.n_grid,
+                        train_config.equi_weight)
         return _single_step(
             model, loss_fn, optimizer, state, source, target,
             nan_guard=train_config.skip_nonfinite_updates,

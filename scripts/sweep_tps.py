@@ -199,6 +199,41 @@ VARIANTS.update(
         + _NOISE_TRUNK
         + ["train.equi_weight=1.0"]
         + _DECAY60,
+        # the combined recipe at K=30 — chasing the 2.24 flagship number
+        "final_ind_3x_k30_noisefeat_equi_60k": _CHAMP
+        + ["model.n_landmarks=30"]
+        + _NOISE_TRUNK
+        + ["train.equi_weight=1.0"]
+        + _DECAY60,
+    }
+)
+
+# Temporal-mode equivariance (warp_view auxiliary view — pairs.py): probe at
+# 15k, then a 35k convergence run against the round-2 temporal K=30 2.08.
+_TEMPORAL_K30 = [
+    "data.pair_mode=temporal",
+    "model.n_landmarks=30",
+]
+VARIANTS.update(
+    {
+        "temporal_k30_equi1": _TEMPORAL_K30 + ["train.equi_weight=1.0"],
+        # equi-weight dose-response on the combined K=10 recipe (1.0 → 4.12
+        # @15k; does more/less help? collapse risk: the shared warp component
+        # cancels in the equi term, so a coordinate-collapse shortcut is
+        # partially rewarded at high weight)
+        "ind_2x_noisefeat_equi05": _K10_BASE
+        + _NOISE_TRUNK
+        + ["train.equi_weight=0.5"],
+        "ind_2x_noisefeat_equi2": _K10_BASE
+        + _NOISE_TRUNK
+        + ["train.equi_weight=2.0"],
+        "temporal_k30_noisefeat_equi_35k": _TEMPORAL_K30
+        + _NOISE_TRUNK
+        + ["train.equi_weight=1.0"]
+        + [
+            "train.lr_boundaries=[20000,30000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
     }
 )
 

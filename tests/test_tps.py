@@ -164,8 +164,9 @@ def test_transform_points_matches_dense_grid():
 
 
 def test_equivariance_extension_trains():
-    """equi_weight > 0 adds a finite loss/equi term and still trains; the
-    extension refuses temporal mode (no analytic transform)."""
+    """equi_weight > 0 adds a finite loss/equi term and still trains, in both
+    pair modes (temporal synthesizes its own known warp of the target); TPS
+    mode with warping disabled is refused."""
     import dataclasses
 
     import pytest
@@ -200,8 +201,19 @@ def test_equivariance_extension_trains():
     assert np.isfinite(float(metrics["loss/equi"]))
     assert np.isfinite(float(metrics["loss/total"]))
 
-    with pytest.raises(ValueError, match="equi_weight"):
-        make_train_step(model, loss_fn, tcfg, pair, "temporal", donate=False)
+    # Temporal mode: the extension synthesizes its own known warp of the
+    # target (warp_view) — trains even with pair warping disabled.
     no_warp = PairSynthesizer(PairConfig(enable_warp=False))
+    t_step = make_train_step(
+        model, loss_fn, tcfg, no_warp, "temporal", donate=False
+    )
+    t_batch = {
+        "image_a": jax.random.uniform(jax.random.PRNGKey(3), (4, 32, 32, 3)),
+        "image_b": jax.random.uniform(jax.random.PRNGKey(4), (4, 32, 32, 3)),
+    }
+    _, t_metrics = t_step(state, t_batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(t_metrics["loss/equi"]))
+    assert np.isfinite(float(t_metrics["loss/total"]))
+
     with pytest.raises(ValueError, match="equi_weight"):
         make_train_step(model, loss_fn, tcfg, no_warp, "tps", donate=False)
