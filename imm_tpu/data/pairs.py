@@ -57,6 +57,32 @@ class PairSynthesizer:
         source, target, _, _ = self.pair_with_params(rng, images)
         return source, target
 
+    def _sample_level(self, key: jax.Array, batch: int, level: int):
+        """One warp-parameter draw at noise level 0 (shared) or 1
+        (individual). Parameters/grids stay float32 even for bf16 images —
+        bf16 coordinates quantize to ~0.5px (see ops.image). The single
+        sd-indexing + dtype site for every warp draw in this class."""
+        c = self.config
+        return sample_tps_params(
+            key, batch, c.rotsd[level], c.scalesd[level], c.transsd[level],
+            c.warpsd[level], c.n_grid, jnp.float32,
+        )
+
+    def _warp(self, images: jnp.ndarray, params) -> jnp.ndarray:
+        return warp_image(
+            images, params, n_grid=self.config.n_grid,
+            impl=self.config.warp_impl,
+        )
+
+    def _maybe_jitter(self, key: jax.Array, images: jnp.ndarray):
+        c = self.config
+        if not c.enable_jitter:
+            return images
+        return color_jitter(
+            key, images, c.jitter_brightness, c.jitter_contrast,
+            c.jitter_channel,
+        )
+
     def pair_with_params(self, rng: jax.Array, images: jnp.ndarray):
         """As ``__call__`` but also returns the two composed warp parameter
         sets ``(source_params, target_params)`` (None when warping is off) —
@@ -67,50 +93,21 @@ class PairSynthesizer:
         k_shared, k_src, k_tgt, k_jit = jax.random.split(rng, 4)
         params_s = params_t = None
         if c.enable_warp:
-            # warp parameters/grids stay float32 even for bf16 images —
-            # bf16 coordinates quantize to ~0.5px (see ops.image)
-            f32 = jnp.float32
-            shared = sample_tps_params(
-                k_shared, b, c.rotsd[0], c.scalesd[0], c.transsd[0], c.warpsd[0],
-                c.n_grid, f32,
-            )
-            ind_s = sample_tps_params(
-                k_src, b, c.rotsd[1], c.scalesd[1], c.transsd[1], c.warpsd[1],
-                c.n_grid, f32,
-            )
-            ind_t = sample_tps_params(
-                k_tgt, b, c.rotsd[1], c.scalesd[1], c.transsd[1], c.warpsd[1],
-                c.n_grid, f32,
-            )
-            params_s = combine_params(shared, ind_s)
-            params_t = combine_params(shared, ind_t)
-            source = warp_image(
-                images, params_s, n_grid=c.n_grid, impl=c.warp_impl
-            )
-            target = warp_image(
-                images, params_t, n_grid=c.n_grid, impl=c.warp_impl
-            )
+            shared = self._sample_level(k_shared, b, 0)
+            params_s = combine_params(shared, self._sample_level(k_src, b, 1))
+            params_t = combine_params(shared, self._sample_level(k_tgt, b, 1))
+            source = self._warp(images, params_s)
+            target = self._warp(images, params_t)
         else:
             source, target = images, images
-        if c.enable_jitter:
-            source = color_jitter(
-                k_jit, source, c.jitter_brightness, c.jitter_contrast,
-                c.jitter_channel,
-            )
+        source = self._maybe_jitter(k_jit, source)
         return source, target, params_s, params_t
 
     def temporal_pair(
         self, rng: jax.Array, frame_a: jnp.ndarray, frame_b: jnp.ndarray
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Video path: two real frames; jitter the source only (no TPS)."""
-        c = self.config
-        source = frame_a
-        if c.enable_jitter:
-            source = color_jitter(
-                rng, source, c.jitter_brightness, c.jitter_contrast,
-                c.jitter_channel,
-            )
-        return source, frame_b
+        return self._maybe_jitter(rng, frame_a), frame_b
 
     def warp_view(self, rng: jax.Array, images: jnp.ndarray):
         """One composed (shared∘individual-level) warp of ``images`` plus its
@@ -121,23 +118,10 @@ class PairSynthesizer:
         synthesis, which temporal mode doesn't use). The view is jittered
         like a source so the constraint can't be satisfied photometrically.
         """
-        c = self.config
         k_a, k_b, k_jit = jax.random.split(rng, 3)
-        f32 = jnp.float32
         b = images.shape[0]
-        p_a = sample_tps_params(
-            k_a, b, c.rotsd[0], c.scalesd[0], c.transsd[0], c.warpsd[0],
-            c.n_grid, f32,
+        params = combine_params(
+            self._sample_level(k_a, b, 0), self._sample_level(k_b, b, 1)
         )
-        p_b = sample_tps_params(
-            k_b, b, c.rotsd[1], c.scalesd[1], c.transsd[1], c.warpsd[1],
-            c.n_grid, f32,
-        )
-        params = combine_params(p_a, p_b)
-        view = warp_image(images, params, n_grid=c.n_grid, impl=c.warp_impl)
-        if c.enable_jitter:
-            view = color_jitter(
-                k_jit, view, c.jitter_brightness, c.jitter_contrast,
-                c.jitter_channel,
-            )
+        view = self._maybe_jitter(k_jit, self._warp(images, params))
         return view, params

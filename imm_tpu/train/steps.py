@@ -215,15 +215,21 @@ def make_train_step(
                               train_config.equi_weight)
             return (*pair_synth(rng, batch["image"]), None)
         if pair_mode == "temporal":
+            if not use_equi:
+                # no split: keeps pre-equi temporal runs seed-reproducible
+                return (
+                    *pair_synth.temporal_pair(
+                        rng, batch["image_a"], batch["image_b"]
+                    ),
+                    None,
+                )
             k_pair, k_view = jax.random.split(rng)
             s, t = pair_synth.temporal_pair(
                 k_pair, batch["image_a"], batch["image_b"]
             )
-            if use_equi:
-                view, pv = pair_synth.warp_view(k_view, t)
-                return s, t, (view, pv, None, pair_synth.config.n_grid,
-                              train_config.equi_weight)
-            return s, t, None
+            view, pv = pair_synth.warp_view(k_view, t)
+            return s, t, (view, pv, None, pair_synth.config.n_grid,
+                          train_config.equi_weight)
         raise ValueError(f"unknown pair mode: {pair_mode!r}")
 
     def one(state, batch, rng):
@@ -312,7 +318,10 @@ def make_synthetic_train_step(
             else:
                 source, target = pair_synth(k_pair, batch["image"])
         else:
-            k_pair, k_view = jax.random.split(k_pair)
+            if use_equi:
+                # split only when the extension is on: keeps pre-equi
+                # temporal runs seed-reproducible
+                k_pair, k_view = jax.random.split(k_pair)
             source, target = pair_synth.temporal_pair(
                 k_pair, batch["image_a"], batch["image_b"]
             )

@@ -238,6 +238,19 @@ VARIANTS.update(
 )
 
 
+def default_variants() -> list[str]:
+    """Variants the bare (no ``--only``) 15k sweep runs: plain probes —
+    including temporal-mode ones. Convergence runs (detected by their
+    baked-in LR-decay boundaries, which are sized for their own step
+    budgets) and trained-feature A/Bs (which require
+    ``weights/trained_features*.npz`` to exist) run only via ``--only``."""
+    return [
+        n for n, ov in VARIANTS.items()
+        if not any(o.startswith("train.lr_boundaries") for o in ov)
+        and "feat" not in n
+    ]
+
+
 def run_variant(name: str, overrides: list[str], steps: int, out_path: str):
     import jax
 
@@ -315,20 +328,7 @@ def main(argv=None):
     if os.path.exists(args.out):
         with open(args.out) as f:
             done = {json.loads(line)["variant"] for line in f if line.strip()}
-    # Convergence variants bake in LR-decay boundaries sized for their own
-    # step budgets — only run them when named explicitly with --only (and
-    # the matching --steps/--out), never in the default 15k sweep.
-    names = (
-        args.only.split(",")
-        if args.only
-        else [
-            n for n in VARIANTS
-            # convergence runs and trained-feature A/Bs (which require
-            # weights/trained_features.npz to exist) run only via --only
-            if not n.startswith(("final_", "temporal_"))
-            and "feat" not in n
-        ]
-    )
+    names = args.only.split(",") if args.only else default_variants()
     unknown = sorted(set(names) - VARIANTS.keys())
     if unknown:  # fail in milliseconds, not hours into the sweep
         raise SystemExit(f"unknown variants {unknown}; options: {sorted(VARIANTS)}")

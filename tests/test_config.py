@@ -84,3 +84,16 @@ def test_sweep_variant_overrides_parse():
         config = apply_overrides(get_preset("synthetic"), [f"name={name}"] + overrides)
         assert config.name == name
         assert len(config.pair.rotsd) == 2
+
+    # default-sweep filter: probes run (including temporal-mode ones, which a
+    # name-prefix filter once silently excluded); convergence runs (baked-in
+    # LR-decay boundaries) and trained-feature A/Bs don't
+    defaults = sweep_tps.default_variants()
+    assert "temporal_k30_equi1" in defaults
+    assert "ind_2x" in defaults
+    for name in defaults:
+        ov = sweep_tps.VARIANTS[name]
+        assert not any(o.startswith("train.lr_boundaries") for o in ov)
+        assert not any("trained_weights" in o for o in ov)
+    assert "final_ind_2x_noisefeat_equi_60k" not in defaults
+    assert "temporal_k30_noisefeat_equi_35k" not in defaults
