@@ -38,10 +38,73 @@ BASELINE_TF1_GPU_IMG_PER_SEC = 100.0  # documented estimate, see module docstrin
 MEASURED_PEAK_TFLOPS = 108.0
 
 
+def bench_inference(batch: int):
+    """Serving-path benchmark: the exported landmark detector and pose-swap
+    generator (eval/export.py serializes these exact forwards). Reference has
+    no serving story (research code), so there is no baseline denominator —
+    ``vs_baseline`` is null. Reports large-batch throughput plus batch-1
+    dispatch latency (through the axon relay the ~27 ms tunnel dispatch
+    dominates batch-1; direct-attached latency would be lower)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imm_tpu.eval.swap import swap_fn
+    from imm_tpu.models import IMMConfig
+    from imm_tpu.train import TrainConfig, create_train_state
+
+    cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), cfg, TrainConfig(batch_size=batch), 1
+    )
+    params, batch_stats = state.params, state.batch_stats
+
+    def landmark(images):
+        variables = {"params": params, "batch_stats": batch_stats}
+        coords, _ = model.apply(variables, images, method=model.encode_pose)
+        return coords
+
+    land_jit = jax.jit(landmark)
+    swap_jit = jax.jit(swap_fn(model, params, batch_stats))
+    s = cfg.image_size
+    imgs = jnp.zeros((batch, s, s, 3), jnp.float32) + 0.5
+    img1 = imgs[:1]
+
+    def timed(fn, *a, reps=5, warmup=2):
+        # host read of an output element is the only reliable barrier
+        # through the relay (see utils/profiling.py)
+        for _ in range(warmup):
+            float(jnp.asarray(fn(*a)).ravel()[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            float(jnp.asarray(fn(*a)).ravel()[0])
+            ts.append(time.time() - t0)
+        return statistics.median(ts)
+
+    t_land = timed(land_jit, imgs)
+    t_land1 = timed(land_jit, img1)
+    t_swap = timed(swap_jit, imgs, imgs)
+    n = jax.device_count()
+    return {
+        "metric": "landmark_images_per_sec_per_chip",
+        "value": round(batch / t_land / n, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,  # reference publishes no serving numbers
+        "batch": batch,
+        "latency_ms_batch1": round(t_land1 * 1e3, 2),
+        "swap_images_per_sec_per_chip": round(batch / t_swap / n, 1),
+    }
+
+
 def main(argv=None):
     import argparse
 
     parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--mode", choices=("train", "inference"), default="train",
+        help="train: flagship training step (the driver's headline metric); "
+        "inference: serving-path landmark/swap forwards",
+    )
     parser.add_argument(
         "--loss-input-scale", type=int, default=None,
         help="bench a VGG-loss input_scale variant (see losses/perceptual.py)",
@@ -58,6 +121,9 @@ def main(argv=None):
     from imm_tpu.cli._common import enable_compile_cache
 
     enable_compile_cache()
+    if args.mode == "inference":
+        print(json.dumps(bench_inference(args.batch)))
+        return
     import jax
 
     from imm_tpu.data import PairConfig, PairSynthesizer, SyntheticBlobFaces
