@@ -48,51 +48,58 @@ def bench_inference(batch: int):
     import jax
     import jax.numpy as jnp
 
+    from imm_tpu.eval.export import landmark_fn
     from imm_tpu.eval.swap import swap_fn
     from imm_tpu.models import IMMConfig
-    from imm_tpu.train import TrainConfig, create_train_state
+    from imm_tpu.models.imm import IMM
 
     cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
-    model, state = create_train_state(
-        jax.random.PRNGKey(0), cfg, TrainConfig(batch_size=batch), 1
-    )
-    params, batch_stats = state.params, state.batch_stats
+    model = IMM(cfg)
+    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    # jitted init: one program, not hundreds of ~30 ms relay dispatches
+    # (same rationale as train/state.py); no optimizer state — serving only
+    variables = jax.jit(
+        lambda r: model.init(r, dummy, dummy, train=False)
+    )(jax.random.PRNGKey(0))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
 
-    def landmark(images):
-        variables = {"params": params, "batch_stats": batch_stats}
-        coords, _ = model.apply(variables, images, method=model.encode_pose)
-        return coords
-
-    land_jit = jax.jit(landmark)
-    swap_jit = jax.jit(swap_fn(model, params, batch_stats))
+    # Bench the exact forwards eval/export.py serializes — by construction,
+    # not by re-implementation. jit a scalar mean over the full output so the
+    # host read that serves as the completion barrier (block_until_ready
+    # returns early through the axon relay — utils/profiling.py) costs one
+    # in-program reduction + one scalar transfer, not extra eager dispatches,
+    # and XLA cannot dead-code-eliminate any of the benched computation.
+    land = landmark_fn(model, params, batch_stats)
+    swap = swap_fn(model, params, batch_stats)
+    land_jit = jax.jit(lambda x: jnp.mean(land(x)))
+    swap_jit = jax.jit(lambda a, p: jnp.mean(swap(a, p)))
     s = cfg.image_size
     imgs = jnp.zeros((batch, s, s, 3), jnp.float32) + 0.5
     img1 = imgs[:1]
 
     def timed(fn, *a, reps=5, warmup=2):
-        # host read of an output element is the only reliable barrier
-        # through the relay (see utils/profiling.py)
         for _ in range(warmup):
-            float(jnp.asarray(fn(*a)).ravel()[0])
+            float(fn(*a))
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            float(jnp.asarray(fn(*a)).ravel()[0])
+            float(fn(*a))
             ts.append(time.time() - t0)
         return statistics.median(ts)
 
     t_land = timed(land_jit, imgs)
     t_land1 = timed(land_jit, img1)
     t_swap = timed(swap_jit, imgs, imgs)
-    n = jax.device_count()
+    # single-device programs (no mesh): report the one chip they ran on
     return {
         "metric": "landmark_images_per_sec_per_chip",
-        "value": round(batch / t_land / n, 1),
+        "value": round(batch / t_land, 1),
         "unit": "images/sec/chip",
         "vs_baseline": None,  # reference publishes no serving numbers
         "batch": batch,
         "latency_ms_batch1": round(t_land1 * 1e3, 2),
-        "swap_images_per_sec_per_chip": round(batch / t_swap / n, 1),
+        "swap_images_per_sec_per_chip": round(batch / t_swap, 1),
     }
 
 
@@ -122,6 +129,11 @@ def main(argv=None):
 
     enable_compile_cache()
     if args.mode == "inference":
+        if args.loss_input_scale or args.taps or args.scan != 40:
+            parser.error(
+                "--loss-input-scale/--taps/--scan configure the training "
+                "loss/dispatch and have no effect in --mode inference"
+            )
         print(json.dumps(bench_inference(args.batch)))
         return
     import jax
