@@ -38,7 +38,7 @@ BASELINE_TF1_GPU_IMG_PER_SEC = 100.0  # documented estimate, see module docstrin
 MEASURED_PEAK_TFLOPS = 108.0
 
 
-def bench_inference(batch: int):
+def bench_inference(batch: int, cfg=None):
     """Serving-path benchmark: the exported landmark detector and pose-swap
     generator (eval/export.py serializes these exact forwards). Reference has
     no serving story (research code), so there is no baseline denominator —
@@ -53,7 +53,8 @@ def bench_inference(batch: int):
     from imm_tpu.models import IMMConfig
     from imm_tpu.models.imm import IMM
 
-    cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
+    if cfg is None:  # the flagship serving config; tests pass a tiny one
+        cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
     model = IMM(cfg)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     # jitted init: one program, not hundreds of ~30 ms relay dispatches
