@@ -166,6 +166,26 @@ PRESETS: dict[str, ExperimentConfig] = {
     ),
 }
 
+# K=30 variant of the best-known offline recipe: ind_3x warps (the K=30
+# sweep winner) + the same noise trunk + equivariance. Converged to
+# 1.77 %IOD at 60k (final_ind_3x_k30_noisefeat_equi_60k — the best number
+# this harness has produced; non-equi 2.03, round-2 flagship 2.24,
+# supervised K=30 oracle ceiling 1.37).
+PRESETS["synthetic_best_k30"] = dataclasses.replace(
+    PRESETS["synthetic_best"],
+    name="synthetic_best_k30",
+    model=dataclasses.replace(
+        PRESETS["synthetic_best"].model, n_landmarks=30
+    ),
+    pair=dataclasses.replace(
+        _FACE_PAIR,
+        rotsd=(5.0, 7.5),
+        scalesd=(0.05, 0.075),
+        transsd=(0.05, 0.12),
+        warpsd=(0.001, 0.03),
+    ),
+)
+
 
 def get_preset(name: str) -> ExperimentConfig:
     if name not in PRESETS:

@@ -59,6 +59,9 @@ def test_unknown_preset():
 def test_driver_configs_covered():
     """The five BASELINE.json configs each map to a preset."""
     assert {"celeba_k10", "aflw_k30", "cats_k20", "human36m", "swap"} <= set(PRESETS)
+    assert PRESETS["synthetic_best_k30"].model.n_landmarks == 30
+    assert PRESETS["synthetic_best_k30"].train.equi_weight == 1.0
+    assert PRESETS["synthetic_best_k30"].loss.feature_source == "trained"
     assert PRESETS["aflw_k30"].model.n_landmarks == 30
     assert PRESETS["cats_k20"].model.n_landmarks == 20
     assert PRESETS["human36m"].data.pair_mode == "temporal"
