@@ -234,6 +234,32 @@ VARIANTS.update(
             "train.lr_boundaries=[20000,30000]",
             "train.lr_factors=[1.0,0.3,0.1]",
         ],
+        # Stronger (3x) individual warps on the combined K=10 recipe: the
+        # K=30 flagship uses the 3x base and converged 1.77; K=10 converged
+        # runs so far all use the 2x base (3.48 @60k, plateaued from 51k).
+        # At 15k without noise/equi 3x vs 2x was a wash (6.25 vs 6.39), but
+        # the equivariance term gets its supervision FROM the warp, so the
+        # dose may matter more now.
+        "ind_3x_k10_noisefeat_equi1": _IND_3X
+        + ["loss.input_scale=2"]
+        + _NOISE_TRUNK
+        + ["train.equi_weight=1.0"],
+    }
+)
+
+# K=10 convergence attempt at the 3.2 target (the driver's MAFL number is a
+# K=10 figure): winner of the {equi05, equi2, ind_3x_k10} probe round at
+# 60k with the flagship LR schedule.
+VARIANTS.update(
+    {
+        "final_ind_3x_k10_noisefeat_equi_60k": _IND_3X
+        + ["loss.input_scale=2"]
+        + _NOISE_TRUNK
+        + ["train.equi_weight=1.0"]
+        + [
+            "train.lr_boundaries=[35000,50000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
     }
 )
 
