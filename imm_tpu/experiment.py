@@ -304,7 +304,7 @@ def build_experiment(
         from imm_tpu.eval import evaluate_landmarks
 
         train_split, test_split = eval_builder()
-        return evaluate_landmarks(
+        metrics = evaluate_landmarks(
             coords_fn,
             state.params,
             state.batch_stats,
@@ -313,6 +313,21 @@ def build_experiment(
             norm=config.data.eval_norm,
             iod_points=config.data.iod_points,
         )
+        if state.ema_params is not None:
+            # param_ema_decay on: report the Polyak-averaged params alongside
+            # the raw ones so a single run A/Bs the lever (same splits, same
+            # shared BatchNorm statistics).
+            ema = evaluate_landmarks(
+                coords_fn,
+                state.ema_params,
+                state.batch_stats,
+                train_split,
+                test_split,
+                norm=config.data.eval_norm,
+                iod_points=config.data.iod_points,
+            )
+            metrics.update({f"{k}_ema": v for k, v in ema.items()})
+        return metrics
 
     trainer = Trainer(
         step_fn,

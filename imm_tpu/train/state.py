@@ -53,6 +53,13 @@ class TrainConfig:
     # oracle reaches 1.87 %IOD where unsupervised floors at ~5.9 —
     # docs/artifacts/oracle_floor.md).
     equi_weight: float = 0.0
+    # EXTENSION (not in the reference — off by default keeps reference
+    # behavior): Polyak/EMA averaging of the parameters,
+    # ``ema = d*ema + (1-d)*params`` after every update. When on, eval
+    # reports metrics for BOTH raw and EMA params (``*_ema`` keys) so one
+    # run A/Bs the lever. BatchNorm statistics are shared (running stats
+    # are already an EMA of activation moments, at their own rate).
+    param_ema_decay: float = 0.0
 
 
 @flax.struct.dataclass
@@ -62,6 +69,10 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     loss_ema: jnp.ndarray  # per-term loss scale EMA (losses/perceptual.py)
+    # Polyak-averaged params (TrainConfig.param_ema_decay > 0), else None —
+    # None is an empty pytree node, so states from runs without the option
+    # keep their exact pre-existing (checkpoint-compatible) structure.
+    ema_params: Any = None
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -113,5 +124,9 @@ def create_train_state(
         batch_stats=batch_stats,
         opt_state=optimizer.init(params),
         loss_ema=jnp.ones((n_loss_terms,), jnp.float32),
+        ema_params=(
+            jax.tree.map(jnp.copy, params)
+            if train_config.param_ema_decay > 0 else None
+        ),
     )
     return model, state

@@ -62,6 +62,7 @@ def _single_step(
     nan_guard: bool = False,
     axis_name: str | None = None,
     equi: tuple | None = None,
+    ema_decay: float = 0.0,
 ) -> tuple[TrainState, Metrics]:
     """One optimizer update given an already-synthesized (source, target).
 
@@ -136,6 +137,13 @@ def _single_step(
         grads, state.opt_state, state.params
     )
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    new_ema_params = (
+        jax.tree.map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, new_params,
+        )
+        if ema_decay > 0 else state.ema_params
+    )
     if nan_guard:
         # A truly skipped step: gate params AND optimizer state on `ok` —
         # merely zeroing grads would still move params via decayed Adam
@@ -146,6 +154,10 @@ def _single_step(
         )
         new_params = gate(new_params, state.params)
         new_opt_state = gate(new_opt_state, state.opt_state)
+        if ema_decay > 0:
+            # frozen on a skipped step: params didn't move, so the EMA must
+            # not drift toward them either
+            new_ema_params = gate(new_ema_params, state.ema_params)
         new_ema = jnp.where(ok, new_ema, state.loss_ema)
         new_stats = gate(new_stats, state.batch_stats)
         # report guarded values so one bad step can't NaN-poison the
@@ -162,6 +174,7 @@ def _single_step(
         batch_stats=new_stats,
         opt_state=new_opt_state,
         loss_ema=new_ema,
+        ema_params=new_ema_params,
     )
     return new_state, metrics
 
@@ -239,6 +252,7 @@ def make_train_step(
             nan_guard=train_config.skip_nonfinite_updates,
             axis_name=axis,
             equi=equi,
+            ema_decay=train_config.param_ema_decay,
         )
 
     def core(state, batch, rng):
@@ -334,6 +348,7 @@ def make_synthetic_train_step(
             nan_guard=train_config.skip_nonfinite_updates,
             axis_name=axis,
             equi=equi,
+            ema_decay=train_config.param_ema_decay,
         )
 
     def core(state, rng):

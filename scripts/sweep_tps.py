@@ -227,6 +227,12 @@ VARIANTS.update(
         "ind_2x_noisefeat_equi2": _K10_BASE
         + _NOISE_TRUNK
         + ["train.equi_weight=2.0"],
+        # dose-response kept rising at 2.0 (4.12 -> 3.30 @15k going 1->2):
+        # probe 4.0 before committing the 60k budget; watch for the
+        # coordinate-collapse shortcut the term partially rewards
+        "ind_2x_noisefeat_equi4": _K10_BASE
+        + _NOISE_TRUNK
+        + ["train.equi_weight=4.0"],
         "temporal_k30_noisefeat_equi_35k": _TEMPORAL_K30
         + _NOISE_TRUNK
         + ["train.equi_weight=1.0"]
@@ -256,6 +262,16 @@ VARIANTS.update(
         + ["loss.input_scale=2"]
         + _NOISE_TRUNK
         + ["train.equi_weight=1.0"]
+        + [
+            "train.lr_boundaries=[35000,50000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
+        # Polyak-averaged params (train.param_ema_decay) on the best-known
+        # K=10 recipe; eval reports raw AND *_ema metrics, so this run A/Bs
+        # the EMA lever for free on the same trajectory.
+        "final_ind_2x_k10_noisefeat_equi_ema_60k": _K10_BASE
+        + _NOISE_TRUNK
+        + ["train.equi_weight=1.0", "train.param_ema_decay=0.999"]
         + [
             "train.lr_boundaries=[35000,50000]",
             "train.lr_factors=[1.0,0.3,0.1]",

@@ -238,3 +238,91 @@ def test_loss_input_scale_halves_vgg_resolution():
         ReconstructionLoss(
             PerceptualLossConfig(feature_source="pixel", input_scale=2)
         )
+
+
+def test_param_ema_matches_recurrence_and_default_off():
+    """param_ema_decay: EMA follows e = d*e + (1-d)*p exactly; off -> None."""
+    import dataclasses
+    from imm_tpu.data import PairConfig, PairSynthesizer
+    from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+    from imm_tpu.train import TrainConfig, create_train_state
+    from imm_tpu.train.steps import make_train_step
+
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1))
+    )
+    d = 0.8
+    tcfg = TrainConfig(
+        batch_size=2, lr_boundaries=(), lr_factors=(1.0,), param_ema_decay=d
+    )
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), TINY, tcfg, loss_fn.n_terms
+    )
+    pair = PairSynthesizer(
+        dataclasses.replace(PairConfig(), enable_warp=False, enable_jitter=False)
+    )
+    step = make_train_step(model, loss_fn, tcfg, pair, "tps", donate=False)
+
+    # EMA initializes to the params
+    for e, p in zip(jax.tree.leaves(state.ema_params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    x = jnp.full((2, 32, 32, 3), 0.5, jnp.float32)
+    expect = jax.tree.map(np.asarray, state.params)
+    for i in range(3):
+        state, _ = step(state, {"image": x}, jax.random.PRNGKey(i))
+        expect = jax.tree.map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p), expect, state.params
+        )
+    for e, want in zip(jax.tree.leaves(state.ema_params), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(e), want, rtol=1e-6, atol=1e-7)
+    # EMA lags the raw params after updates
+    diffs = [
+        float(np.abs(np.asarray(e) - np.asarray(p)).max())
+        for e, p in zip(
+            jax.tree.leaves(state.ema_params), jax.tree.leaves(state.params)
+        )
+    ]
+    assert max(diffs) > 0
+
+    # default config: no EMA pytree at all (checkpoint-compatible structure)
+    tcfg_off = TrainConfig(batch_size=2, lr_boundaries=(), lr_factors=(1.0,))
+    model2, state2 = create_train_state(
+        jax.random.PRNGKey(0), TINY, tcfg_off, loss_fn.n_terms
+    )
+    assert state2.ema_params is None
+    step2 = make_train_step(model2, loss_fn, tcfg_off, pair, "tps", donate=False)
+    s, _ = step2(state2, {"image": x}, jax.random.PRNGKey(0))
+    assert s.ema_params is None
+
+
+def test_nan_guard_freezes_param_ema():
+    """A skipped step must leave the Polyak average untouched too."""
+    import dataclasses
+    from imm_tpu.data import PairConfig, PairSynthesizer
+    from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+    from imm_tpu.train import TrainConfig, create_train_state
+    from imm_tpu.train.steps import make_train_step
+
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1))
+    )
+    tcfg = TrainConfig(
+        batch_size=2, lr_boundaries=(), lr_factors=(1.0,),
+        skip_nonfinite_updates=True, param_ema_decay=0.9,
+    )
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), TINY, tcfg, loss_fn.n_terms
+    )
+    pair = PairSynthesizer(
+        dataclasses.replace(PairConfig(), enable_warp=False, enable_jitter=False)
+    )
+    step = make_train_step(model, loss_fn, tcfg, pair, "tps", donate=False)
+
+    good = jnp.full((2, 32, 32, 3), 0.5, jnp.float32)
+    bad = jnp.full((2, 32, 32, 3), jnp.nan, jnp.float32)
+    s1, _ = step(state, {"image": good}, jax.random.PRNGKey(1))
+    s2, m2 = step(s1, {"image": bad}, jax.random.PRNGKey(2))
+    assert float(m2["nonfinite_step"]) == 1.0
+    for a, b in zip(jax.tree.leaves(s1.ema_params), jax.tree.leaves(s2.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

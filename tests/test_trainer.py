@@ -324,3 +324,26 @@ def test_watchdog_disarmed_after_run_completes():
     exp.trainer._start_watchdog()
     _time.sleep(1.2)  # well past the timeout, with run() finished
     assert not fired, "watchdog fired after a successful run"
+
+
+def test_eval_reports_ema_metrics_when_enabled():
+    """train.param_ema_decay > 0 -> eval reports raw AND *_ema metrics."""
+    import dataclasses
+
+    base = get_preset("tiny_cpu")
+    cfg = dataclasses.replace(
+        base,
+        eval_samples=32,
+        train=dataclasses.replace(base.train, param_ema_decay=0.5),
+    )
+    exp = build_experiment(cfg, total_steps=4)
+    state = exp.run()
+    results = exp.eval_fn(state)
+    assert "landmark_error_test_pct" in results
+    assert "landmark_error_test_pct_ema" in results
+    assert np.isfinite(results["landmark_error_test_pct_ema"])
+    # at step 4 with decay 0.5 the EMA sits between init and current params,
+    # so the two evals run on genuinely different parameters
+    assert results["landmark_error_test_pct_ema"] != results[
+        "landmark_error_test_pct"
+    ]
