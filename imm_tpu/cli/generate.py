@@ -30,6 +30,11 @@ def main(argv=None):
     parser.add_argument("--pose", default=None, help="pose image path")
     parser.add_argument("--n", type=int, default=8, help="grid size without inputs")
     parser.add_argument("--out", default="swaps.npy", help="output .npy/.png path")
+    parser.add_argument(
+        "--ema", action="store_true",
+        help="generate with the Polyak-averaged params (requires a checkpoint "
+        "trained with train.param_ema_decay > 0)",
+    )
     args = parser.parse_args(argv)
     setup_logging()
     enable_compile_cache()
@@ -54,8 +59,16 @@ def main(argv=None):
         app = np.asarray(faces.sample(jax.random.PRNGKey(1), args.n)["image"])
         pose = np.asarray(faces.sample(jax.random.PRNGKey(2), args.n)["image"])
 
+    params = state.params
+    if args.ema:
+        if state.ema_params is None:
+            raise SystemExit(
+                "--ema: checkpoint has no EMA params (train with "
+                "train.param_ema_decay > 0)"
+            )
+        params = state.ema_params
     out = np.asarray(
-        pose_swap(exp.model, state.params, state.batch_stats, app, pose)
+        pose_swap(exp.model, params, state.batch_stats, app, pose)
     )
     out = np.clip(out, 0.0, 1.0)
     if args.out.endswith(".npy"):

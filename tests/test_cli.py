@@ -95,3 +95,37 @@ def test_supervise_runs_to_completion(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["--preset", "tiny_cpu", "--supervise", "1"])  # no workdir
+
+
+def test_generate_cli_ema_flag(tmp_path):
+    """--ema uses the Polyak params; errors clearly when absent."""
+    import pytest
+
+    from imm_tpu.cli.generate import main as generate
+    from imm_tpu.cli.train import main as train
+
+    wd = str(tmp_path / "run")
+    train(
+        [
+            "--preset", "tiny_cpu",
+            "--steps", "3",
+            "--workdir", wd,
+            "train.param_ema_decay=0.5",
+        ]
+    )
+    out = generate(
+        ["--preset", "tiny_cpu", "--n", "2", "--ema",
+         "--out", str(tmp_path / "s.npy"), "--workdir", wd,
+         "train.param_ema_decay=0.5"]
+    )
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+    # without EMA in the checkpoint the flag must fail loudly
+    wd2 = str(tmp_path / "run2")
+    train(["--preset", "tiny_cpu", "--steps", "2", "--workdir", wd2])
+    with pytest.raises(SystemExit):
+        generate(
+            ["--preset", "tiny_cpu", "--n", "2", "--ema",
+             "--out", str(tmp_path / "s2.npy"), "--workdir", wd2]
+        )
