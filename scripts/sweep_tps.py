@@ -233,6 +233,12 @@ VARIANTS.update(
         "ind_2x_noisefeat_equi4": _K10_BASE
         + _NOISE_TRUNK
         + ["train.equi_weight=4.0"],
+        # same dose question on the K=30 flagship recipe (its 60k equi1 run
+        # read 2.27 at step 15k — the comparison point for this probe)
+        "ind_3x_k30_noisefeat_equi2": _CHAMP
+        + ["model.n_landmarks=30"]
+        + _NOISE_TRUNK
+        + ["train.equi_weight=2.0"],
         "temporal_k30_noisefeat_equi_35k": _TEMPORAL_K30
         + _NOISE_TRUNK
         + ["train.equi_weight=1.0"]
