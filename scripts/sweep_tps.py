@@ -273,11 +273,20 @@ VARIANTS.update(
             "train.lr_factors=[1.0,0.3,0.1]",
         ],
         # Polyak-averaged params (train.param_ema_decay) on the best-known
-        # K=10 recipe; eval reports raw AND *_ema metrics, so this run A/Bs
-        # the EMA lever for free on the same trajectory.
-        "final_ind_2x_k10_noisefeat_equi_ema_60k": _K10_BASE
+        # K=10 recipe at the dose-response winner weight; eval reports raw
+        # AND *_ema metrics, so this run A/Bs the EMA lever for free.
+        "final_ind_2x_k10_noisefeat_equi2_ema_60k": _K10_BASE
         + _NOISE_TRUNK
-        + ["train.equi_weight=1.0", "train.param_ema_decay=0.999"]
+        + ["train.equi_weight=2.0", "train.param_ema_decay=0.999"]
+        + [
+            "train.lr_boundaries=[35000,50000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
+        # K=30 flagship at equi weight 2 + EMA (pending the 15k probe)
+        "final_ind_3x_k30_noisefeat_equi2_ema_60k": _CHAMP
+        + ["model.n_landmarks=30"]
+        + _NOISE_TRUNK
+        + ["train.equi_weight=2.0", "train.param_ema_decay=0.999"]
         + [
             "train.lr_boundaries=[35000,50000]",
             "train.lr_factors=[1.0,0.3,0.1]",
