@@ -282,11 +282,13 @@ VARIANTS.update(
             "train.lr_boundaries=[35000,50000]",
             "train.lr_factors=[1.0,0.3,0.1]",
         ],
-        # K=30 flagship at equi weight 2 + EMA (pending the 15k probe)
-        "final_ind_3x_k30_noisefeat_equi2_ema_60k": _CHAMP
+        # K=30 flagship + EMA. The dose optimum is K-dependent: the 15k
+        # probe read equi2 at 2.84 vs the 60k equi1 run's 2.27 at the same
+        # step, so K=30 keeps weight 1.0 (K=10 peaks at 2.0).
+        "final_ind_3x_k30_noisefeat_equi1_ema_60k": _CHAMP
         + ["model.n_landmarks=30"]
         + _NOISE_TRUNK
-        + ["train.equi_weight=2.0", "train.param_ema_decay=0.999"]
+        + ["train.equi_weight=1.0", "train.param_ema_decay=0.999"]
         + [
             "train.lr_boundaries=[35000,50000]",
             "train.lr_factors=[1.0,0.3,0.1]",
