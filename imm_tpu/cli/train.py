@@ -42,6 +42,8 @@ def _supervise(restarts: int, argv=None) -> int:
     import subprocess
     import sys
 
+    import time
+
     child_argv = _strip_supervise(list(argv) if argv is not None else sys.argv[1:])
     cmd = [sys.executable, "-u", "-m", "imm_tpu.cli.train", *child_argv]
     for attempt in range(restarts + 1):
@@ -53,6 +55,11 @@ def _supervise(restarts: int, argv=None) -> int:
             "Orbax resumes from the latest checkpoint",
             code, attempt + 1, restarts,
         )
+        # a TPU process started within seconds of the previous one exiting
+        # reliably wedges at device init through the axon relay — pause
+        # before relaunching (same spacing the sweep retry shells use)
+        if attempt < restarts:
+            time.sleep(50)
     return code
 
 

@@ -31,6 +31,7 @@ from imm_tpu.train.steps import (
     make_train_step,
 )
 from imm_tpu.utils.config import ExperimentConfig
+from imm_tpu.utils.device_init import devices_or_timeout
 
 
 def _stack_batches(it: Iterator[dict], n: int) -> Iterator[dict]:
@@ -75,8 +76,10 @@ def build_experiment(
     CLI works offline without the training dataset on disk).
     """
     if mesh is None:
-        # the data axis must divide the batch: use the largest such device count
-        n_dev = len(jax.devices())
+        # the data axis must divide the batch: use the largest such device
+        # count; first-touch init is bounded so a wedged relay fails fast
+        # instead of blocking ~25 min (utils/device_init.py)
+        n_dev = len(devices_or_timeout())
         while config.train.batch_size % n_dev:
             n_dev -= 1
         mesh = make_mesh(n_dev)
