@@ -47,7 +47,9 @@ def _supervise(restarts: int, argv=None) -> int:
     child_argv = _strip_supervise(list(argv) if argv is not None else sys.argv[1:])
     cmd = [sys.executable, "-u", "-m", "imm_tpu.cli.train", *child_argv]
     for attempt in range(restarts + 1):
+        t0 = time.monotonic()
         code = subprocess.call(cmd)
+        child_runtime = time.monotonic() - t0
         if code == 0:
             return 0
         log.warning(
@@ -57,8 +59,10 @@ def _supervise(restarts: int, argv=None) -> int:
         )
         # a TPU process started within seconds of the previous one exiting
         # reliably wedges at device init through the axon relay — pause
-        # before relaunching (same spacing the sweep retry shells use)
-        if attempt < restarts:
+        # before relaunching (same spacing the sweep retry shells use).
+        # Instant failures (bad flag, config typo) never touched the device,
+        # so they skip the pause and fail fast.
+        if attempt < restarts and child_runtime > 10:
             time.sleep(50)
     return code
 

@@ -307,29 +307,24 @@ def build_experiment(
         from imm_tpu.eval import evaluate_landmarks
 
         train_split, test_split = eval_builder()
-        metrics = evaluate_landmarks(
-            coords_fn,
-            state.params,
-            state.batch_stats,
-            train_split,
-            test_split,
-            norm=config.data.eval_norm,
-            iod_points=config.data.iod_points,
-        )
+        # with param_ema_decay on, report the Polyak-averaged params
+        # alongside the raw ones (suffix _ema) so a single run A/Bs the
+        # lever — same splits, same shared BatchNorm statistics
+        param_sets = {"": state.params}
         if state.ema_params is not None:
-            # param_ema_decay on: report the Polyak-averaged params alongside
-            # the raw ones so a single run A/Bs the lever (same splits, same
-            # shared BatchNorm statistics).
-            ema = evaluate_landmarks(
+            param_sets["_ema"] = state.ema_params
+        metrics = {}
+        for suffix, params in param_sets.items():
+            m = evaluate_landmarks(
                 coords_fn,
-                state.ema_params,
+                params,
                 state.batch_stats,
                 train_split,
                 test_split,
                 norm=config.data.eval_norm,
                 iod_points=config.data.iod_points,
             )
-            metrics.update({f"{k}_ema": v for k, v in ema.items()})
+            metrics.update({f"{k}{suffix}": v for k, v in m.items()})
         return metrics
 
     trainer = Trainer(

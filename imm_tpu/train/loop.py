@@ -135,16 +135,50 @@ class Trainer:
         )
 
     def restore_or_init(self):
-        """Resume from the latest checkpoint if one exists."""
+        """Resume from the latest checkpoint if one exists.
+
+        The checkpoint pytree has one config-dependent optional node:
+        ``ema_params`` (``TrainConfig.param_ema_decay > 0``). Restoring must
+        not require the user to replay that training-time override (e.g.
+        ``generate --ema`` against an EMA-trained workdir, or resuming after
+        flipping the lever), so a structure mismatch on that node is
+        reconciled against the on-disk layout rather than raised.
+        """
         if self._ckpt_mgr is None:
             return self.state
         latest = self._ckpt_mgr.latest_step()
         if latest is not None:
             import orbax.checkpoint as ocp
 
-            self.state = self._ckpt_mgr.restore(
-                latest, args=ocp.args.StandardRestore(self.state)
-            )
+            try:
+                self.state = self._ckpt_mgr.restore(
+                    latest, args=ocp.args.StandardRestore(self.state)
+                )
+            except ValueError:
+                if self.state.ema_params is None:
+                    # disk has EMA params, live config doesn't: restore and
+                    # keep them — with decay=0 the train step carries them
+                    # through unchanged, and generate --ema stays reachable
+                    target = self.state.replace(
+                        ema_params=jax.tree.map(jnp.copy, self.state.params)
+                    )
+                    self.state = self._ckpt_mgr.restore(
+                        latest, args=ocp.args.StandardRestore(target)
+                    )
+                    log.info("checkpoint carries EMA params; restored them "
+                             "(param_ema_decay=0: they stay frozen)")
+                else:
+                    # disk has no EMA params, live config wants them: turning
+                    # the lever on mid-run — seed EMA from restored params
+                    target = self.state.replace(ema_params=None)
+                    restored = self._ckpt_mgr.restore(
+                        latest, args=ocp.args.StandardRestore(target)
+                    )
+                    self.state = restored.replace(
+                        ema_params=jax.tree.map(jnp.copy, restored.params)
+                    )
+                    log.info("checkpoint has no EMA params; seeding EMA "
+                             "from the restored params")
             log.info("restored checkpoint at step %d", latest)
         return self.state
 

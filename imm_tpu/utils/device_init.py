@@ -9,44 +9,52 @@ turns a wedged init into a fast, clean failure that the supervise/retry
 loops (``cli.train --supervise``, the sweep retry shells) can cycle on
 ~2.5x faster.
 
+The wedge blocks inside the PJRT plugin's C++ client creation, where
+Python-level signal handlers are deferred until the C call returns — a
+SIGALRM bound would fire only after the ~25 min block resolves. The bound
+is therefore a watchdog thread that hard-exits the process
+(``os._exit(86)``): the process is wedged in native code with nothing
+worth cleaning up, and the retry loop treats any nonzero code the same.
+
 The timeout is an infra knob, not a model hyperparameter, so it lives in an
 env var: ``IMM_TPU_DEVICE_INIT_TIMEOUT_S`` (default 600; ``0`` disables).
-SIGALRM only works in the main thread; elsewhere the call is unbounded.
 """
 
 from __future__ import annotations
 
 import os
-import signal
+import sys
 import threading
 
 import jax
 
 _DEFAULT_TIMEOUT_S = 600
-
-
-class DeviceInitTimeout(RuntimeError):
-    """Backend initialization exceeded the bound — likely a wedged relay."""
+#: process exit code of the init watchdog (the stall watchdog uses 42)
+INIT_TIMEOUT_EXIT_CODE = 86
 
 
 def _call_with_timeout(fn, timeout_s: int, what: str):
-    """Run ``fn()`` under a SIGALRM bound (main thread only)."""
-    if timeout_s <= 0 or threading.current_thread() is not threading.main_thread():
+    """Run ``fn()``; hard-exit the process if it blocks past ``timeout_s``."""
+    if timeout_s <= 0:
         return fn()
 
-    def _raise(signum, frame):
-        raise DeviceInitTimeout(
+    def _abort():
+        sys.stderr.write(
             f"{what} blocked for {timeout_s}s — the axon device RPC is "
-            "likely wedged; exiting so a supervise/retry loop can relaunch"
+            "likely wedged; exiting "
+            f"{INIT_TIMEOUT_EXIT_CODE} so a supervise/retry loop can "
+            "relaunch (IMM_TPU_DEVICE_INIT_TIMEOUT_S tunes/disables this)\n"
         )
+        sys.stderr.flush()
+        os._exit(INIT_TIMEOUT_EXIT_CODE)
 
-    prev = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(timeout_s)
+    timer = threading.Timer(timeout_s, _abort)
+    timer.daemon = True
+    timer.start()
     try:
         return fn()
     finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, prev)
+        timer.cancel()
 
 
 def _backend_initialized() -> bool:
@@ -61,9 +69,9 @@ def _backend_initialized() -> bool:
 def devices_or_timeout(timeout_s: int | None = None):
     """``jax.devices()`` with a bound on first-time backend initialization.
 
-    Already-initialized backends return instantly, so the alarm is only
-    armed for the first touch. Raises :class:`DeviceInitTimeout` when init
-    exceeds the bound instead of blocking a wedged process for ~25 min.
+    Already-initialized backends return instantly, so the watchdog is only
+    armed for the first touch. A wedged init hard-exits the process with
+    :data:`INIT_TIMEOUT_EXIT_CODE` instead of blocking ~25 min.
     """
     if timeout_s is None:
         timeout_s = int(

@@ -1,29 +1,37 @@
 """Bounded first-touch device init (utils/device_init.py).
 
 The production failure this guards: a wedged axon relay blocks the first
-jax.devices() of a process for ~25 min before failing; the bound turns that
-into a fast exit the supervise/retry loops cycle on.
+jax.devices() of a process inside C++ PJRT client creation for ~25 min
+before failing; the watchdog hard-exit turns that into a fast relaunch.
 """
 
+import subprocess
+import sys
 import time
 
-import pytest
-
 from imm_tpu.utils.device_init import (
-    DeviceInitTimeout,
+    INIT_TIMEOUT_EXIT_CODE,
     _call_with_timeout,
     devices_or_timeout,
 )
 
 
-def test_timeout_raises_on_blocked_call():
-    with pytest.raises(DeviceInitTimeout, match="blocked for 1s"):
-        _call_with_timeout(lambda: time.sleep(5), timeout_s=1, what="probe")
+def test_blocked_call_hard_exits_with_watchdog_code():
+    # a Python-level sleep stands in for the C-blocked init; the watchdog
+    # thread's os._exit fires regardless of what the main thread blocks in
+    code = (
+        "from imm_tpu.utils.device_init import _call_with_timeout; "
+        "import time; _call_with_timeout(lambda: time.sleep(30), 1, 'probe')"
+    )
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=25)
+    assert proc.returncode == INIT_TIMEOUT_EXIT_CODE, proc.stderr
+    assert "likely wedged" in proc.stderr
 
 
-def test_fast_call_passes_through_and_alarm_is_disarmed():
+def test_fast_call_passes_through_and_watchdog_is_disarmed():
     assert _call_with_timeout(lambda: 42, timeout_s=5, what="probe") == 42
-    time.sleep(0.05)  # a leaked alarm would fire asynchronously
+    time.sleep(0.05)  # a leaked timer would os._exit the test process
 
 
 def test_zero_timeout_disables_bound():
@@ -31,7 +39,8 @@ def test_zero_timeout_disables_bound():
 
 
 def test_devices_or_timeout_on_initialized_backend():
-    # the suite's conftest has already initialized the CPU backend, so this
-    # takes the instant already-initialized path
+    import jax
+
+    jax.devices()  # ensure the backend is initialized even standalone
     devs = devices_or_timeout(timeout_s=1)
     assert len(devs) >= 1

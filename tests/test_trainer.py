@@ -347,3 +347,58 @@ def test_eval_reports_ema_metrics_when_enabled():
     assert results["landmark_error_test_pct_ema"] != results[
         "landmark_error_test_pct"
     ]
+
+
+def test_restore_reconciles_ema_structure_both_directions(tmp_path):
+    """The optional ema_params checkpoint node must not require replaying
+    the training-time param_ema_decay override at restore time (the
+    generate --ema / resume-after-flipping-the-lever failure)."""
+    import dataclasses
+
+    import jax
+
+    base = get_preset("tiny_cpu")
+
+    # EMA-trained checkpoint ...
+    cfg_ema = dataclasses.replace(
+        base,
+        workdir=str(tmp_path / "ema_run"),
+        train=dataclasses.replace(base.train, param_ema_decay=0.5),
+    )
+    exp = build_experiment(cfg_ema, total_steps=4)
+    exp.trainer.options.checkpoint_every = 2
+    state = exp.run()
+    assert state.ema_params is not None
+
+    # ... restored with the DEFAULT config (decay=0): EMA params must
+    # survive so generate --ema works without replaying the override
+    cfg_plain = dataclasses.replace(base, workdir=str(tmp_path / "ema_run"))
+    exp2 = build_experiment(cfg_plain, total_steps=4)
+    restored = exp2.trainer.restore_or_init()
+    assert int(restored.step) == 4
+    assert restored.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree.leaves(state.ema_params)[0]),
+    )
+
+    # plain checkpoint restored with EMA enabled: lever turns on mid-run,
+    # EMA seeded from the restored params
+    cfg_plain2 = dataclasses.replace(base, workdir=str(tmp_path / "plain_run"))
+    exp3 = build_experiment(cfg_plain2, total_steps=4)
+    exp3.trainer.options.checkpoint_every = 2
+    state3 = exp3.run()
+    assert state3.ema_params is None
+    cfg_ema2 = dataclasses.replace(
+        base,
+        workdir=str(tmp_path / "plain_run"),
+        train=dataclasses.replace(base.train, param_ema_decay=0.5),
+    )
+    exp4 = build_experiment(cfg_ema2, total_steps=4)
+    restored4 = exp4.trainer.restore_or_init()
+    assert int(restored4.step) == 4
+    assert restored4.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored4.ema_params)[0]),
+        np.asarray(jax.tree.leaves(restored4.params)[0]),
+    )
