@@ -129,6 +129,11 @@ def main(argv=None):
     from imm_tpu.cli._common import enable_compile_cache
 
     enable_compile_cache()
+    # fail fast (exit 86) instead of blocking ~25 min if the axon relay is
+    # wedged at first device touch — the driver/retry loop can re-run
+    from imm_tpu.utils.device_init import devices_or_timeout
+
+    devices_or_timeout()
     if args.mode == "inference":
         if args.loss_input_scale or args.taps or args.scan != 40:
             parser.error(
