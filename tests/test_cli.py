@@ -113,10 +113,12 @@ def test_generate_cli_ema_flag(tmp_path):
             "train.param_ema_decay=0.5",
         ]
     )
+    # deliberately does NOT replay the param_ema_decay override: the restore
+    # layer reconciles the checkpoint's ema_params node against the default
+    # config (the natural `generate --ema --workdir wd` UX)
     out = generate(
         ["--preset", "tiny_cpu", "--n", "2", "--ema",
-         "--out", str(tmp_path / "s.npy"), "--workdir", wd,
-         "train.param_ema_decay=0.5"]
+         "--out", str(tmp_path / "s.npy"), "--workdir", wd]
     )
     assert out.shape == (2, 32, 32, 3)
     assert np.isfinite(out).all()
