@@ -293,6 +293,17 @@ VARIANTS.update(
             "train.lr_boundaries=[35000,50000]",
             "train.lr_factors=[1.0,0.3,0.1]",
         ],
+        # Wall-clock-bounded version of the equi2+EMA final (a 60k run is
+        # ~70 min on the relay-attached chip; the locked 60k variant above
+        # remains the canonical protocol when a full slot is available).
+        # Schedule compressed proportionally: 35k/50k -> 24k/34k at 40k.
+        "final_ind_2x_k10_noisefeat_equi2_ema_40k": _K10_BASE
+        + _NOISE_TRUNK
+        + ["train.equi_weight=2.0", "train.param_ema_decay=0.999"]
+        + [
+            "train.lr_boundaries=[24000,34000]",
+            "train.lr_factors=[1.0,0.3,0.1]",
+        ],
     }
 )
 
