@@ -68,35 +68,5 @@ def test_driver_configs_covered():
     assert PRESETS["human36m"].pair.enable_warp is False
     assert PRESETS["human36m"].data.eval_norm == "size"
 
-
-def test_sweep_variant_overrides_parse():
-    """Every sweep variant's overrides apply cleanly to the synthetic preset."""
-    import os
-    import sys
-
-    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
-    sys.path.insert(0, scripts_dir)
-    try:
-        import sweep_tps
-    finally:
-        sys.path.remove(scripts_dir)
-    from imm_tpu.configs import get_preset
-    from imm_tpu.utils.config import apply_overrides
-
-    for name, overrides in sweep_tps.VARIANTS.items():
-        config = apply_overrides(get_preset("synthetic"), [f"name={name}"] + overrides)
-        assert config.name == name
-        assert len(config.pair.rotsd) == 2
-
-    # default-sweep filter: probes run (including temporal-mode ones, which a
-    # name-prefix filter once silently excluded); convergence runs (baked-in
-    # LR-decay boundaries) and trained-feature A/Bs don't
-    defaults = sweep_tps.default_variants()
-    assert "temporal_k30_equi1" in defaults
-    assert "ind_2x" in defaults
-    for name in defaults:
-        ov = sweep_tps.VARIANTS[name]
-        assert not any(o.startswith("train.lr_boundaries") for o in ov)
-        assert not any("trained_weights" in o for o in ov)
-    assert "final_ind_2x_noisefeat_equi_60k" not in defaults
-    assert "temporal_k30_noisefeat_equi_35k" not in defaults
+# The sweep-variant registry checks moved to tests/test_sweep_variants.py
+# when the variants became data (scripts/sweep_variants.yaml).

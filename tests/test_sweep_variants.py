@@ -1,0 +1,73 @@
+"""Registry validation for scripts/sweep_variants.yaml (VERDICT r3 #7).
+
+Every variant must apply cleanly to the synthetic preset, and any step
+budget a variant's NAME encodes must be baked in the registry so a bare
+``--only`` invocation can't train the wrong schedule and then shadow the
+correct run in the resume-skip set (ADVICE r3).
+"""
+
+import os
+import re
+import sys
+
+import pytest
+
+scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+sys.path.insert(0, scripts_dir)
+try:
+    import sweep_tps
+finally:
+    sys.path.remove(scripts_dir)
+
+from imm_tpu.configs import get_preset  # noqa: E402
+from imm_tpu.utils.config import apply_overrides  # noqa: E402
+
+
+def test_every_variant_parses_into_experiment_config():
+    for name, variant in sweep_tps.VARIANTS.items():
+        config = apply_overrides(
+            get_preset("synthetic"), [f"name={name}"] + list(variant.overrides)
+        )
+        assert config.name == name
+        assert len(config.pair.rotsd) == 2
+
+
+def test_named_budgets_are_baked():
+    """A ``*_NNk`` name must carry steps=NN*1000 in the registry; variants
+    without a named budget must not bake one (they take --steps)."""
+    for name, variant in sweep_tps.VARIANTS.items():
+        budget = re.search(r"_(\d+)k$", name)
+        if budget:
+            assert variant.steps == int(budget.group(1)) * 1000, name
+        else:
+            assert variant.steps is None, name
+    # the convergence finals the verdict tracks are present with budgets
+    assert sweep_tps.VARIANTS[
+        "final_ind_2x_k10_noisefeat_equi2_ema_60k"
+    ].steps == 60_000
+    assert sweep_tps.VARIANTS[
+        "final_ind_3x_k30_noisefeat_equi1_ema_60k"
+    ].steps == 60_000
+
+
+def test_budget_name_mismatch_rejected(tmp_path):
+    bad = tmp_path / "variants.yaml"
+    bad.write_text("probe_40k:\n  steps: 15000\n  overrides: []\n")
+    with pytest.raises(ValueError, match="40k budget"):
+        sweep_tps.load_variants(str(bad))
+
+
+def test_default_variants_filter():
+    """default-sweep filter: probes run (including temporal-mode ones, which
+    a name-prefix filter once silently excluded); convergence runs (baked
+    budgets / LR-decay boundaries) and trained-feature A/Bs don't."""
+    defaults = sweep_tps.default_variants()
+    assert "temporal_k30_equi1" in defaults
+    assert "ind_2x" in defaults
+    for name in defaults:
+        v = sweep_tps.VARIANTS[name]
+        assert v.steps is None
+        assert not any(o.startswith("train.lr_boundaries") for o in v.overrides)
+        assert not any("trained_weights" in o for o in v.overrides)
+    assert "final_ind_2x_noisefeat_equi_60k" not in defaults
+    assert "temporal_k30_noisefeat_equi_35k" not in defaults
