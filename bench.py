@@ -34,8 +34,14 @@ import time
 
 BASELINE_TF1_GPU_IMG_PER_SEC = 100.0  # documented estimate, see module docstring
 # bf16 peak measured ON THIS CHIP via a 4096^3 matmul chain (PERFORMANCE.md
-# "Chip characterization") — the MFU denominator.
+# "Chip characterization") — one of the two utilization denominators.
 MEASURED_PEAK_TFLOPS = 108.0
+# Nominal spec-sheet bf16 peak for the v5e-class part this chip reports
+# itself as ("TPU v5 lite": 197 TFLOP/s bf16). The 108 measured above is what
+# a dense matmul chain actually achieves through this axon relay; anyone
+# comparing MFU across systems wants the nominal denominator, so the record
+# carries BOTH (VERDICT r3 weak #3).
+NOMINAL_PEAK_TFLOPS = 197.0
 
 
 def bench_inference(batch: int, cfg=None):
@@ -104,65 +110,22 @@ def bench_inference(batch: int, cfg=None):
     }
 
 
-def main(argv=None):
-    import argparse
+def bench_train(batch: int, scan: int, loss_cfg, cfg=None) -> dict:
+    """One training-throughput measurement at the given loss config.
 
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument(
-        "--mode", choices=("train", "inference"), default="train",
-        help="train: flagship training step (the driver's headline metric); "
-        "inference: serving-path landmark/swap forwards",
-    )
-    parser.add_argument(
-        "--loss-input-scale", type=int, default=None,
-        help="bench a VGG-loss input_scale variant (see losses/perceptual.py)",
-    )
-    parser.add_argument(
-        "--taps", default=None,
-        help="comma-separated VGG tap subset, e.g. conv1_2,conv2_2,conv3_3",
-    )
-    parser.add_argument("--batch", type=int, default=128)
-    parser.add_argument("--scan", type=int, default=40,
-                        help="optimizer steps per dispatch (lax.scan length)")
-    args = parser.parse_args(argv)
-
-    from imm_tpu.cli._common import enable_compile_cache
-
-    enable_compile_cache()
-    # fail fast (exit 86) instead of blocking ~25 min if the axon relay is
-    # wedged at first device touch — the driver/retry loop can re-run
-    from imm_tpu.utils.device_init import devices_or_timeout
-
-    devices_or_timeout()
-    if args.mode == "inference":
-        if args.loss_input_scale or args.taps or args.scan != 40:
-            parser.error(
-                "--loss-input-scale/--taps/--scan configure the training "
-                "loss/dispatch and have no effect in --mode inference"
-            )
-        print(json.dumps(bench_inference(args.batch)))
-        return
+    Returns the JSON record; ``main`` decides which workloads to run and
+    prints one line per record. ``cfg`` defaults to the flagship model
+    (128px, K=10, bf16); tests pass a tiny one."""
     import jax
 
     from imm_tpu.data import PairConfig, PairSynthesizer, SyntheticBlobFaces
-    from imm_tpu.losses import PerceptualLossConfig, ReconstructionLoss
+    from imm_tpu.losses import ReconstructionLoss
     from imm_tpu.models import IMMConfig
     from imm_tpu.train import TrainConfig, create_train_state
     from imm_tpu.train.steps import make_synthetic_train_step
 
-    batch, scan = args.batch, args.scan
-    cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
-    # input_scale=2 matches the flagship presets (configs/presets.py): the
-    # half-resolution VGG pass measured accuracy-POSITIVE on two warp bases
-    # (docs/artifacts/sweep_tps.md). Reference-faithful: --loss-input-scale 1.
-    loss_cfg = PerceptualLossConfig(input_scale=2)
-    if args.loss_input_scale:
-        loss_cfg = dataclasses.replace(loss_cfg, input_scale=args.loss_input_scale)
-    if args.taps:
-        taps = tuple(args.taps.split(","))
-        loss_cfg = dataclasses.replace(
-            loss_cfg, taps=taps, weights=(1.0,) * (1 + len(taps))
-        )
+    if cfg is None:
+        cfg = IMMConfig(n_landmarks=10, image_size=128, compute_dtype="bfloat16")
     loss_fn = ReconstructionLoss(loss_cfg)
     tcfg = TrainConfig(batch_size=batch)
     model, state = create_train_state(
@@ -236,12 +199,88 @@ def main(argv=None):
         "loss_taps": list(loss_cfg.taps),
     }
     if flops_per_call is not None:
-        # Achieved arithmetic rate and % of this chip's measured bf16 peak
-        # (108 TFLOP/s on a 4096^3 matmul chain — PERFORMANCE.md).
+        # Achieved arithmetic rate plus BOTH utilization denominators: the
+        # 108 TFLOP/s this chip measures on a dense matmul chain, and the
+        # 197 TFLOP/s nominal v5e bf16 spec (cross-system MFU readers want
+        # the nominal one — VERDICT r3 weak #3).
         tflops = flops_per_call / t_call / n_chips / 1e12
         record["tflops"] = round(tflops, 1)
-        record["mfu_pct"] = round(100.0 * tflops / MEASURED_PEAK_TFLOPS, 1)
-    print(json.dumps(record))
+        record["pct_of_measured_peak"] = round(
+            100.0 * tflops / MEASURED_PEAK_TFLOPS, 1
+        )
+        record["pct_of_nominal_peak"] = round(
+            100.0 * tflops / NOMINAL_PEAK_TFLOPS, 1
+        )
+        record["nominal_peak_tflops_assumed"] = NOMINAL_PEAK_TFLOPS
+    jax.clear_caches()  # free donated buffers before a second workload
+    return record
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--mode", choices=("train", "inference"), default="train",
+        help="train: flagship training step (the driver's headline metric); "
+        "inference: serving-path landmark/swap forwards",
+    )
+    parser.add_argument(
+        "--loss-input-scale", type=int, default=None,
+        help="bench a VGG-loss input_scale variant (see losses/perceptual.py)",
+    )
+    parser.add_argument(
+        "--taps", default=None,
+        help="comma-separated VGG tap subset, e.g. conv1_2,conv2_2,conv3_3",
+    )
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--scan", type=int, default=40,
+                        help="optimizer steps per dispatch (lax.scan length)")
+    args = parser.parse_args(argv)
+
+    from imm_tpu.cli._common import enable_compile_cache
+
+    enable_compile_cache()
+    # fail fast (exit 86) instead of blocking ~25 min if the axon relay is
+    # wedged at first device touch — the driver/retry loop can re-run
+    from imm_tpu.utils.device_init import devices_or_timeout
+
+    devices_or_timeout()
+    if args.mode == "inference":
+        if args.loss_input_scale or args.taps or args.scan != 40:
+            parser.error(
+                "--loss-input-scale/--taps/--scan configure the training "
+                "loss/dispatch and have no effect in --mode inference"
+            )
+        print(json.dumps(bench_inference(args.batch)))
+        return
+
+    from imm_tpu.losses import PerceptualLossConfig
+
+    # input_scale=2 matches the flagship presets (configs/presets.py): the
+    # half-resolution VGG pass measured accuracy-POSITIVE on two warp bases
+    # (docs/artifacts/sweep_tps.md). Reference-faithful: --loss-input-scale 1.
+    loss_cfg = PerceptualLossConfig(input_scale=2)
+    explicit = bool(args.loss_input_scale or args.taps)
+    if args.loss_input_scale:
+        loss_cfg = dataclasses.replace(loss_cfg, input_scale=args.loss_input_scale)
+    if args.taps:
+        taps = tuple(args.taps.split(","))
+        loss_cfg = dataclasses.replace(
+            loss_cfg, taps=taps, weights=(1.0,) * (1 + len(taps))
+        )
+    print(json.dumps(bench_train(args.batch, args.scan, loss_cfg)))
+    if not explicit:
+        # Second line: the reference-faithful FULL-resolution VGG workload
+        # (input_scale=1 — every loss FLOP the reference spends), so the
+        # driver artifact carries the like-for-like number and not only the
+        # production-recipe headline (VERDICT r3 weak #3 / next-round #4).
+        fullres = bench_train(
+            args.batch, args.scan,
+            dataclasses.replace(loss_cfg, input_scale=1),
+        )
+        fullres["metric"] = "train_images_per_sec_per_chip_fullres_loss"
+        print(json.dumps(fullres))
 
 
 if __name__ == "__main__":

@@ -14,6 +14,24 @@ import bench  # noqa: E402
 from tests.common import TINY  # noqa: E402
 
 
+def test_bench_train_smoke():
+    from imm_tpu.losses import PerceptualLossConfig
+
+    rec = bench.bench_train(
+        batch=4, scan=2,
+        loss_cfg=PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1)),
+        cfg=TINY,
+    )
+    assert rec["metric"] == "train_images_per_sec_per_chip"
+    assert rec["unit"] == "images/sec/chip"
+    assert rec["value"] > 0
+    assert rec["batch"] == 4 and rec["scan"] == 2
+    # both utilization denominators ship whenever XLA cost analysis worked
+    if "tflops" in rec:
+        assert rec["pct_of_nominal_peak"] <= rec["pct_of_measured_peak"]
+        assert rec["nominal_peak_tflops_assumed"] == bench.NOMINAL_PEAK_TFLOPS
+
+
 def test_bench_inference_smoke():
     rec = bench.bench_inference(4, cfg=TINY)
     assert rec["metric"] == "landmark_images_per_sec_per_chip"
