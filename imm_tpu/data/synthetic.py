@@ -51,6 +51,14 @@ class SyntheticBlobFaces:
     offset_sd: float = 0.03  # identity-specific part offsets
     noise_sd: float = 0.02
     dtype: str = "float32"  # 'bfloat16' keeps the whole data path off f32
+    # Pose correlation between the two frames of ``sample_pair``. 0 (default)
+    # draws the two poses independently — the Δ→∞ limit of video frame
+    # pairs. g > 0 instead perturbs frame A's pose: rot/log-scale deltas
+    # ~N(0, g·√2·sd) and center delta ~U(±g·trans_range), so g=1 roughly
+    # matches the independent-draw delta magnitude and smaller g models
+    # temporally closer frames (the real-video frame-gap knob, SURVEY §2
+    # H36M "samples temporal (frame_t, frame_t+Δ) pairs").
+    pair_pose_gap: float = 0.0
 
     @property
     def n_landmarks(self) -> int:
@@ -138,13 +146,38 @@ class SyntheticBlobFaces:
         img = self._render(lm, part_colors, bg, rot, scale, center, k_n)
         return {"image": img, "landmarks": lm}
 
+    def _pose_near(self, rng, pose_a, batch):
+        """Frame-B pose as a bounded perturbation of frame A's (gap > 0)."""
+        g = self.pair_pose_gap
+        k_r, k_s, k_t = jax.random.split(rng, 3)
+        rot_a, scale_a, center_a = pose_a
+        sq2 = 2.0**0.5  # g=1 ≈ the independent-draw delta sd
+        rot = rot_a + jax.random.normal(k_r, (batch,)) * (g * sq2 * self.rot_sd)
+        scale = scale_a * jnp.exp(
+            jax.random.normal(k_s, (batch,)) * (g * sq2 * self.scale_sd)
+        )
+        center = center_a + jax.random.uniform(
+            k_t, (batch, 2),
+            minval=-g * self.trans_range, maxval=g * self.trans_range,
+        )
+        return rot, scale, center
+
     def sample_pair(self, rng: jax.Array, batch: int) -> dict[str, jnp.ndarray]:
-        """Video-style pair: same identity, two independent poses."""
+        """Video-style pair: same identity, two poses (independent at
+        ``pair_pose_gap=0``, A-correlated otherwise)."""
         k_id, k_p1, k_p2, k_n1, k_n2 = jax.random.split(rng, 5)
         part_colors, offsets, bg = self._identity(k_id, batch)
+        pose_a = self._pose(k_p1, batch)
+        # gap=0 keeps the original independent draw from the SAME key, so
+        # pre-existing runs stay bitwise seed-reproducible
+        pose_b = (
+            self._pose(k_p2, batch)
+            if self.pair_pose_gap <= 0
+            else self._pose_near(k_p2, pose_a, batch)
+        )
         out = {}
-        for name, k_pose, k_n in (("a", k_p1, k_n1), ("b", k_p2, k_n2)):
-            rot, scale, center = self._pose(k_pose, batch)
+        for name, pose, k_n in (("a", pose_a, k_n1), ("b", pose_b, k_n2)):
+            rot, scale, center = pose
             lm = self._landmarks(offsets, rot, scale, center)
             img = self._render(lm, part_colors, bg, rot, scale, center, k_n)
             out[f"image_{name}"] = img

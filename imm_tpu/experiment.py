@@ -112,7 +112,10 @@ def build_experiment(
             trainer=trainer, restore=restore,
         )
     if config.data.source == "synthetic":
-        faces = SyntheticBlobFaces(image_size=config.model.image_size)
+        faces = SyntheticBlobFaces(
+            image_size=config.model.image_size,
+            pair_pose_gap=config.data.temporal_pose_gap,
+        )
 
         # Fully on-device step: generation lives INSIDE the (shard_map'd)
         # jitted program — each shard synthesizes its slice of the batch from
@@ -264,7 +267,10 @@ def build_experiment(
 
         if not _viz_cache:
             if config.data.source == "synthetic":
-                viz_faces = SyntheticBlobFaces(image_size=config.model.image_size)
+                viz_faces = SyntheticBlobFaces(
+                    image_size=config.model.image_size,
+                    pair_pose_gap=config.data.temporal_pose_gap,
+                )
                 if pair_mode == "tps":
                     _viz_cache.append(
                         {"image": viz_faces.sample(_viz_key, 4)["image"]}

@@ -53,6 +53,15 @@ class TrainConfig:
     # oracle reaches 1.87 %IOD where unsupervised floors at ~5.9 —
     # docs/artifacts/oracle_floor.md).
     equi_weight: float = 0.0
+    # Optional piecewise-constant schedule ON the equivariance weight,
+    # lr-style: effective weight = equi_weight * factor, factor switching at
+    # each boundary. () keeps the weight constant. Motivation (VERDICT r4
+    # #6): the equi term is a surrogate — near convergence the constraint
+    # can bind against the reconstruction objective's finer placement, so a
+    # decayed schedule (e.g. factors (1.0, 0.3) at the LR decay boundary)
+    # tests whether relaxing it late buys accuracy.
+    equi_boundaries: tuple[int, ...] = ()
+    equi_factors: tuple[float, ...] = (1.0,)
     # EXTENSION (not in the reference — off by default keeps reference
     # behavior): Polyak/EMA averaging of the parameters,
     # ``ema = d*ema + (1-d)*params`` after every update. When on, eval

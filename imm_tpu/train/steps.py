@@ -192,7 +192,32 @@ def _check_equi(
             "pair warps (temporal mode instead synthesizes its own known "
             "warp of the target, so enable_warp is not required there)"
         )
+    if len(train_config.equi_factors) != len(train_config.equi_boundaries) + 1:
+        raise ValueError(
+            "train.equi_factors must have one more entry than "
+            f"train.equi_boundaries, got {train_config.equi_factors} / "
+            f"{train_config.equi_boundaries}"
+        )
     return True
+
+
+def _equi_weight_schedule(train_config: TrainConfig):
+    """Step -> effective equivariance weight (jit-traceable).
+
+    Piecewise-constant like the LR schedule: ``equi_weight`` scaled by
+    ``equi_factors[i]`` between boundaries. Constant when no boundaries."""
+    if not train_config.equi_boundaries:
+        w = train_config.equi_weight
+        return lambda step: w
+    import optax
+
+    return optax.piecewise_constant_schedule(
+        train_config.equi_weight,
+        {
+            int(b): train_config.equi_factors[i + 1] / train_config.equi_factors[i]
+            for i, b in enumerate(train_config.equi_boundaries)
+        },
+    )
 
 
 def make_train_step(
@@ -219,13 +244,13 @@ def make_train_step(
     optimizer = make_optimizer(train_config)
     axis = "data" if (mesh is not None and mesh.size > 1) else None
     use_equi = _check_equi(train_config, pair_synth, pair_mode)
+    equi_w = _equi_weight_schedule(train_config)
 
     def synth(rng, batch):
         if pair_mode == "tps":
             if use_equi:
                 s, t, ps, pt = pair_synth.pair_with_params(rng, batch["image"])
-                return s, t, (s, ps, pt, pair_synth.config.n_grid,
-                              train_config.equi_weight)
+                return s, t, (s, ps, pt, pair_synth.config.n_grid)
             return (*pair_synth(rng, batch["image"]), None)
         if pair_mode == "temporal":
             if not use_equi:
@@ -241,12 +266,15 @@ def make_train_step(
                 k_pair, batch["image_a"], batch["image_b"]
             )
             view, pv = pair_synth.warp_view(k_view, t)
-            return s, t, (view, pv, None, pair_synth.config.n_grid,
-                          train_config.equi_weight)
+            return s, t, (view, pv, None, pair_synth.config.n_grid)
         raise ValueError(f"unknown pair mode: {pair_mode!r}")
 
     def one(state, batch, rng):
         source, target, equi = synth(rng, batch)
+        if equi is not None:
+            # weight scheduled on the live step so lax.scan windows and
+            # checkpoint resumes land on the same schedule position
+            equi = (*equi, equi_w(state.step))
         return _single_step(
             model, loss_fn, optimizer, state, source, target,
             nan_guard=train_config.skip_nonfinite_updates,
@@ -312,6 +340,7 @@ def make_synthetic_train_step(
     optimizer = make_optimizer(train_config)
     axis = "data" if (mesh is not None and mesh.size > 1) else None
     use_equi = _check_equi(train_config, pair_synth, pair_mode)
+    equi_w = _equi_weight_schedule(train_config)
     local_batch = (
         train_config.batch_size // mesh.size if axis else train_config.batch_size
     )
@@ -327,8 +356,7 @@ def make_synthetic_train_step(
                 source, target, ps, pt = pair_synth.pair_with_params(
                     k_pair, batch["image"]
                 )
-                equi = (source, ps, pt, pair_synth.config.n_grid,
-                        train_config.equi_weight)
+                equi = (source, ps, pt, pair_synth.config.n_grid)
             else:
                 source, target = pair_synth(k_pair, batch["image"])
         else:
@@ -341,8 +369,9 @@ def make_synthetic_train_step(
             )
             if use_equi:
                 view, pv = pair_synth.warp_view(k_view, target)
-                equi = (view, pv, None, pair_synth.config.n_grid,
-                        train_config.equi_weight)
+                equi = (view, pv, None, pair_synth.config.n_grid)
+        if equi is not None:
+            equi = (*equi, equi_w(state.step))
         return _single_step(
             model, loss_fn, optimizer, state, source, target,
             nan_guard=train_config.skip_nonfinite_updates,

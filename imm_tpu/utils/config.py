@@ -31,6 +31,11 @@ class DataConfig:
     host_pipeline: str = "threaded"
     eval_norm: str = "iod"  # 'iod' | 'size'
     iod_points: tuple[int, int] = (0, 1)
+    # Synthetic temporal mode only: pose correlation between the two frames
+    # of a pair (SyntheticBlobFaces.pair_pose_gap). 0 = independent poses
+    # (the default, matching all pre-round-4 runs); smaller g>0 = temporally
+    # closer frames. The synthetic analog of the H36M frame-gap Δ.
+    temporal_pose_gap: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,14 @@ def main(argv=None):
         "metric needs (measured: the 'both' trunk scored worse than random "
         "VGG on the K=10 A/B) — 'noise' keeps color selectivity.",
     )
+    parser.add_argument(
+        "--warp", action="store_true",
+        help="TPS-warp the clean frames (ind_3x-level warps) before "
+        "corruption, so the trunk trains on the distribution the perceptual "
+        "loss actually sees during IMM training — pair frames are warped, "
+        "but the shipped trunks were trained on raw generator samples "
+        "(VERDICT r4 #6 'trained-trunk refresh on stronger-warp frames')",
+    )
     parser.add_argument("--out", default="weights/trained_features.npz")
     args = parser.parse_args(argv)
 
@@ -132,9 +140,27 @@ def main(argv=None):
             x = x + jax.random.normal(k_n, image.shape) * args.noise_sd
         return jnp.clip(x, 0.0, 1.0)
 
+    warp_synth = None
+    if args.warp:
+        from imm_tpu.data.pairs import PairConfig, PairSynthesizer
+
+        # the K=30 flagship's warp base (sweep ind_3x), geometry only —
+        # photometric jitter would fight the denoising objective
+        warp_synth = PairSynthesizer(
+            PairConfig(
+                rotsd=(5.0, 7.5), scalesd=(0.05, 0.075),
+                transsd=(0.05, 0.12), warpsd=(0.001, 0.03),
+                enable_jitter=False,
+            )
+        )
+
     def loss_fn(params, rng):
-        k_d, k_c = jax.random.split(rng)
+        k_d, k_c, k_w = jax.random.split(rng, 3)
         clean = faces.sample(k_d, args.batch)["image"]
+        if warp_synth is not None:
+            # warp the CLEAN frame; input and target stay aligned, the trunk
+            # just sees warped image statistics
+            clean, _ = warp_synth.warp_view(k_w, clean)
         pred = model.apply({"params": params}, corrupt(k_c, clean))
         return jnp.mean(jnp.square(pred - clean))
 

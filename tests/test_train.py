@@ -326,3 +326,97 @@ def test_nan_guard_freezes_param_ema():
     assert float(m2["nonfinite_step"]) == 1.0
     for a, b in zip(jax.tree.leaves(s1.ema_params), jax.tree.leaves(s2.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pair_pose_gap_correlates_frame_poses():
+    """pair_pose_gap > 0 draws frame B's pose near frame A's; 0 keeps the
+    independent draw (the pre-round-4 behavior, same key usage)."""
+    key = jax.random.PRNGKey(7)
+    free = SyntheticBlobFaces(image_size=32)
+    near = SyntheticBlobFaces(image_size=32, pair_pose_gap=0.15)
+    p_free = free.sample_pair(key, 64)
+    p_near = near.sample_pair(key, 64)
+    # frame A is drawn before the gap branches: identical across modes
+    np.testing.assert_array_equal(
+        np.asarray(p_free["image_a"]), np.asarray(p_near["image_a"])
+    )
+    d = lambda p: float(  # noqa: E731
+        jnp.linalg.norm(
+            p["landmarks_a"] - p["landmarks_b"], axis=-1
+        ).mean()
+    )
+    assert d(p_near) < 0.5 * d(p_free), (
+        f"gap=0.15 pairs should move far less than independent poses: "
+        f"{d(p_near):.3f} vs {d(p_free):.3f}"
+    )
+    # still a *pair*: B is not just A
+    assert d(p_near) > 1e-3
+
+
+def test_equi_weight_schedule():
+    """Piecewise equi-weight schedule: values, validation, and bitwise
+    equivalence of an all-ones schedule with the constant weight."""
+    import dataclasses
+
+    import pytest
+
+    from imm_tpu.train.steps import _equi_weight_schedule
+
+    tcfg = TrainConfig(
+        batch_size=4, lr_boundaries=(), lr_factors=(1.0,), equi_weight=2.0,
+        equi_boundaries=(10, 20), equi_factors=(1.0, 0.5, 0.1),
+    )
+    sched = _equi_weight_schedule(tcfg)
+    assert float(sched(0)) == 2.0
+    assert float(sched(9)) == 2.0
+    assert float(sched(15)) == pytest.approx(1.0)
+    assert float(sched(25)) == pytest.approx(0.2)
+
+    # constant when no boundaries
+    const = _equi_weight_schedule(dataclasses.replace(
+        tcfg, equi_boundaries=(), equi_factors=(1.0,)
+    ))
+    assert float(const(0)) == float(const(10**6)) == 2.0
+
+    # factors length must be len(boundaries)+1 (checked at step-build time)
+    faces = SyntheticBlobFaces(image_size=32)
+    pair = PairSynthesizer(PairConfig())
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1, 1, 1))
+    )
+    bad = dataclasses.replace(tcfg, equi_factors=(1.0,))
+    model, _ = create_train_state(
+        jax.random.PRNGKey(0), TINY, tcfg, loss_fn.n_terms
+    )
+    with pytest.raises(ValueError, match="equi_factors"):
+        make_synthetic_train_step(
+            model, loss_fn, bad, pair, lambda rng: faces.sample(rng, 4),
+            donate=False,
+        )
+
+    # an all-ones schedule is bitwise the constant-weight step
+    def run(cfg):
+        model, state = create_train_state(
+            jax.random.PRNGKey(0), TINY, cfg, loss_fn.n_terms
+        )
+        step = make_synthetic_train_step(
+            model, loss_fn, cfg, pair,
+            lambda rng: faces.sample(rng, 4), donate=False,
+        )
+        state, metrics = step(state, jax.random.PRNGKey(3))
+        state, metrics = step(state, jax.random.PRNGKey(4))
+        return state, metrics
+
+    base_cfg = dataclasses.replace(
+        tcfg, equi_boundaries=(), equi_factors=(1.0,)
+    )
+    ones_cfg = dataclasses.replace(
+        tcfg, equi_boundaries=(1,), equi_factors=(1.0, 1.0)
+    )
+    s_base, m_base = run(base_cfg)
+    s_ones, m_ones = run(ones_cfg)
+    assert float(m_base["loss/total"]) == float(m_ones["loss/total"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_base.params, s_ones.params,
+    )
