@@ -63,6 +63,19 @@ class TrainConfig:
     equi_boundaries: tuple[int, ...] = ()
     equi_factors: tuple[float, ...] = (1.0,)
     # EXTENSION (not in the reference — off by default keeps reference
+    # behavior): landmark-separation penalty. The round-4 error
+    # decomposition of the K=10 flagship (docs/artifacts/
+    # diagnose_final_ind_2x_k10_noisefeat_equi2_ema_60k.md) found two
+    # landmarks collapsed onto each other (min pairwise distance 1.1 px of
+    # 128, diffuse heatmaps, ~half the positional variance of their peers) —
+    # dead capacity the ridge readout cannot use. The penalty is a hinge on
+    # pairwise coordinate distances per image:
+    # mean_pairs relu(margin - d_ij)^2, coords in [-1, 1] units, so it is
+    # exactly zero once all landmarks sit >= sep_margin apart and never
+    # fights the reconstruction objective at healthy separations.
+    sep_weight: float = 0.0
+    sep_margin: float = 0.2
+    # EXTENSION (not in the reference — off by default keeps reference
     # behavior): Polyak/EMA averaging of the parameters,
     # ``ema = d*ema + (1-d)*params`` after every update. When on, eval
     # reports metrics for BOTH raw and EMA params (``*_ema`` keys) so one

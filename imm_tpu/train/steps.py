@@ -52,6 +52,27 @@ def _scan_mean(metrics: Metrics) -> Metrics:
     }
 
 
+def landmark_separation_loss(
+    coords: jnp.ndarray, margin: float
+) -> jnp.ndarray:
+    """Hinge repulsion on pairwise landmark distances (pair-mean, scalar).
+
+    ``coords``: (B, K, 2) in [-1, 1] units. Returns
+    ``mean_B mean_{i != j} relu(margin - d_ij)^2`` — exactly zero once every
+    landmark pair sits >= margin apart, so at healthy separations the term
+    (and its gradient) vanishes rather than fighting the reconstruction
+    objective. Motivated by the round-4 K=10 error decomposition
+    (docs/artifacts/diagnose_final_ind_2x_k10_noisefeat_equi2_ema_60k.md):
+    two landmarks had collapsed to 1.1 px apart — dead readout capacity.
+    """
+    diff = coords[:, :, None, :] - coords[:, None, :, :]
+    dist = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1) + 1e-12)
+    k = coords.shape[1]
+    off_diag = 1.0 - jnp.eye(k, dtype=dist.dtype)
+    hinge = jnp.square(jnp.maximum(margin - dist, 0.0)) * off_diag
+    return jnp.mean(jnp.sum(hinge, axis=(1, 2)) / (k * (k - 1)))
+
+
 def _single_step(
     model: IMM,
     loss_fn: ReconstructionLoss,
@@ -62,6 +83,7 @@ def _single_step(
     nan_guard: bool = False,
     axis_name: str | None = None,
     equi: tuple | None = None,
+    sep: tuple | None = None,
     ema_decay: float = 0.0,
 ) -> tuple[TrainState, Metrics]:
     """One optimizer update given an already-synthesized (source, target).
@@ -81,6 +103,13 @@ def _single_step(
     Temporal mode: view = a fresh known warp of the target, the shared frame
     IS the target (``params_t=None`` → identity). Color jitter happens after
     warping, so view geometry is exact.
+
+    ``sep``: optional ``(weight, margin)`` — the opt-in landmark-separation
+    EXTENSION (TrainConfig.sep_weight): a per-image hinge on pairwise
+    distances between the main pass's predicted coordinates,
+    ``mean_pairs relu(margin - d_ij)^2``. Zero once every landmark pair is
+    >= margin apart (coords in [-1, 1]), so it only acts on collapsed /
+    duplicated landmarks (the round-4 diagnosis found two, 1.1 px apart).
     """
 
     def objective(params):
@@ -116,6 +145,14 @@ def _single_step(
             total = total + w_equi * equi_loss
             metrics = dict(metrics)
             metrics["loss/equi"] = equi_loss
+        if sep is not None:
+            w_sep, margin = sep
+            sep_loss = landmark_separation_loss(out.coords, margin)
+            if axis_name is not None:
+                sep_loss = jax.lax.pmean(sep_loss, axis_name)
+            total = total + w_sep * sep_loss
+            metrics = dict(metrics)
+            metrics["loss/sep"] = sep_loss
         new_stats = mutated.get("batch_stats", state.batch_stats)
         return total, (new_stats, new_ema, metrics)
 
@@ -245,6 +282,10 @@ def make_train_step(
     axis = "data" if (mesh is not None and mesh.size > 1) else None
     use_equi = _check_equi(train_config, pair_synth, pair_mode)
     equi_w = _equi_weight_schedule(train_config)
+    sep = (
+        (train_config.sep_weight, train_config.sep_margin)
+        if train_config.sep_weight > 0 else None
+    )
 
     def synth(rng, batch):
         if pair_mode == "tps":
@@ -280,6 +321,7 @@ def make_train_step(
             nan_guard=train_config.skip_nonfinite_updates,
             axis_name=axis,
             equi=equi,
+            sep=sep,
             ema_decay=train_config.param_ema_decay,
         )
 
@@ -341,6 +383,10 @@ def make_synthetic_train_step(
     axis = "data" if (mesh is not None and mesh.size > 1) else None
     use_equi = _check_equi(train_config, pair_synth, pair_mode)
     equi_w = _equi_weight_schedule(train_config)
+    sep = (
+        (train_config.sep_weight, train_config.sep_margin)
+        if train_config.sep_weight > 0 else None
+    )
     local_batch = (
         train_config.batch_size // mesh.size if axis else train_config.batch_size
     )
@@ -377,6 +423,7 @@ def make_synthetic_train_step(
             nan_guard=train_config.skip_nonfinite_updates,
             axis_name=axis,
             equi=equi,
+            sep=sep,
             ema_decay=train_config.param_ema_decay,
         )
 

@@ -420,3 +420,59 @@ def test_equi_weight_schedule():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         s_base.params, s_ones.params,
     )
+
+
+def test_landmark_separation_loss_math():
+    """Zero at/above margin; positive and repulsive below it."""
+    from imm_tpu.train.steps import landmark_separation_loss
+
+    margin = 0.2
+    # all pairs farther than the margin -> exactly zero
+    spread = jnp.array([[[-0.8, -0.8], [0.8, 0.8], [-0.8, 0.8]]])
+    assert float(landmark_separation_loss(spread, margin)) == 0.0
+    # one collapsed pair -> hinge^2 ~ margin^2 on 2 of K(K-1)=6 ordered pairs
+    collapsed = jnp.array([[[0.0, 0.0], [0.0, 0.0], [0.8, 0.8]]])
+    val = float(landmark_separation_loss(collapsed, margin))
+    np.testing.assert_allclose(val, 2 * margin**2 / 6, rtol=1e-4)
+    # gradient pushes the collapsed pair APART (and is finite at d ~ 0)
+    g = jax.grad(
+        lambda c: landmark_separation_loss(c, margin)
+    )(collapsed + jnp.array([[[1e-3, 0.0], [-1e-3, 0.0], [0.0, 0.0]]]))
+    g = np.asarray(g)[0]
+    assert np.isfinite(g).all()
+    assert g[0, 0] < 0 and g[1, 0] > 0  # descent moves them apart
+    np.testing.assert_allclose(g[2], 0.0, atol=1e-7)  # far landmark untouched
+
+
+def test_sep_penalty_in_train_step():
+    """sep_weight > 0 reports loss/sep and matches the off-path otherwise."""
+    import dataclasses
+
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1.0, 1.0, 1.0))
+    )
+    tcfg_on = TrainConfig(
+        batch_size=4, lr_boundaries=(), lr_factors=(1.0,),
+        sep_weight=1.0, sep_margin=0.3,
+    )
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), TINY, tcfg_on, loss_fn.n_terms
+    )
+    pair = PairSynthesizer(
+        dataclasses.replace(PairConfig(), enable_warp=False, enable_jitter=False)
+    )
+    x = jnp.linspace(0, 1, 4 * 32 * 32 * 3, dtype=jnp.float32).reshape(4, 32, 32, 3)
+    step_on = make_train_step(model, loss_fn, tcfg_on, pair, "tps", donate=False)
+    s_on, m_on = step_on(state, {"image": x}, jax.random.PRNGKey(1))
+    assert "loss/sep" in m_on and np.isfinite(float(m_on["loss/sep"]))
+
+    tcfg_off = dataclasses.replace(tcfg_on, sep_weight=0.0)
+    step_off = make_train_step(model, loss_fn, tcfg_off, pair, "tps", donate=False)
+    _, m_off = step_off(state, {"image": x}, jax.random.PRNGKey(1))
+    assert "loss/sep" not in m_off
+    # the penalty actually entered the objective
+    np.testing.assert_allclose(
+        float(m_on["loss/total"]),
+        float(m_off["loss/total"]) + float(m_on["loss/sep"]),
+        rtol=1e-5,
+    )
