@@ -23,6 +23,7 @@ final_runs.md, and the git log of this file.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import dataclasses
 import json
 import os
@@ -141,6 +142,48 @@ def run_variant(name: str, variant: Variant, steps: int, out_path: str):
     jax.clear_caches()
 
 
+def _recorded(out_path: str) -> set[tuple[str, int]]:
+    """(variant, steps) pairs already recorded in ``out_path``.
+
+    Keyed on steps too: a mis-stepped run must not shadow the real one
+    (ADVICE r3). Re-read before every variant, not once at startup — a
+    concurrent runner may have recorded it since."""
+    done: set[tuple[str, int]] = set()
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    done.add((r["variant"], int(r["steps"])))
+    return done
+
+
+@contextlib.contextmanager
+def _chip_lock(path: str):
+    """Advisory exclusive lock serializing sweep runners on the one chip.
+
+    Held for the duration of one variant run; a second queue blocks here
+    (announcing it) instead of time-slicing the device. flock is released
+    by the kernel even if the holder is SIGKILLed, so a dead runner never
+    wedges the queue. Empty path disables (CPU-only smoke tests)."""
+    if not path:
+        yield
+        return
+    import fcntl
+
+    with open(path, "a+") as f:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            print(f"[sweep] chip lock {path} held by another runner; "
+                  "waiting", flush=True)
+            fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=15_000,
@@ -150,6 +193,11 @@ def main(argv=None):
     )
     parser.add_argument(
         "--only", default=None, help="comma-separated variant subset"
+    )
+    parser.add_argument(
+        "--lock-file", default="/tmp/imm_tpu_chip.lock",
+        help="advisory lock serializing runners on the single chip "
+             "('' disables)",
     )
     args = parser.parse_args(argv)
 
@@ -161,15 +209,6 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    # Resume-skip keyed on (variant, steps) — a mis-stepped run must not
-    # shadow the real one (ADVICE r3).
-    done: set[tuple[str, int]] = set()
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            for line in f:
-                if line.strip():
-                    r = json.loads(line)
-                    done.add((r["variant"], int(r["steps"])))
     names = args.only.split(",") if args.only else default_variants()
     unknown = sorted(set(names) - VARIANTS.keys())
     if unknown:  # fail in milliseconds, not hours into the sweep
@@ -177,11 +216,19 @@ def main(argv=None):
     for name in names:
         variant = VARIANTS[name]
         steps = variant.steps if variant.steps is not None else args.steps
-        if (name, steps) in done:
-            print(f"[sweep] {name}: already recorded at {steps} steps, "
-                  "skipping", flush=True)
-            continue
-        run_variant(name, variant, steps, args.out)
+        # Serialize runners on the single chip: two sweep queues launched
+        # within minutes of each other once time-sliced the device (halved
+        # img/s) AND both trained the same variant — each read the done-set
+        # at startup, before either had recorded it (round-4 postmortem:
+        # bitwise-duplicate temporal_k30_noisefeat rows). The lock makes
+        # concurrent queues interleave at variant granularity, and the
+        # done-set is re-read UNDER the lock so the loser of the race skips.
+        with _chip_lock(args.lock_file):
+            if (name, steps) in _recorded(args.out):
+                print(f"[sweep] {name}: already recorded at {steps} steps, "
+                      "skipping", flush=True)
+                continue
+            run_variant(name, variant, steps, args.out)
 
 
 if __name__ == "__main__":

@@ -71,3 +71,49 @@ def test_default_variants_filter():
         assert not any("trained_weights" in o for o in v.overrides)
     assert "final_ind_2x_noisefeat_equi_60k" not in defaults
     assert "temporal_k30_noisefeat_equi_35k" not in defaults
+
+
+def test_recorded_reread_and_chip_lock(tmp_path):
+    """Concurrent-runner safety: done-set re-read + advisory chip lock.
+
+    Round-4 postmortem: two queues launched minutes apart both trained
+    temporal_k30_noisefeat because each read the done-set once at startup.
+    The runner now re-reads under a per-variant flock."""
+    import json
+    import multiprocessing
+
+    out = tmp_path / "sweep.jsonl"
+    assert sweep_tps._recorded(str(out)) == set()
+    out.write_text(json.dumps({"variant": "a", "steps": 15000}) + "\n")
+    assert sweep_tps._recorded(str(out)) == {("a", 15000)}
+    # a second record appended by "another runner" is visible on re-read
+    with open(out, "a") as f:
+        f.write(json.dumps({"variant": "a", "steps": 60000}) + "\n")
+    assert sweep_tps._recorded(str(out)) == {("a", 15000), ("a", 60000)}
+
+    # the lock excludes a second holder while held, admits it after release
+    lock = str(tmp_path / "chip.lock")
+
+    def try_hold(path, q):
+        import fcntl
+        with open(path, "a+") as f:
+            try:
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                q.put("acquired")
+                fcntl.flock(f, fcntl.LOCK_UN)
+            except OSError:
+                q.put("blocked")
+
+    ctx = multiprocessing.get_context("fork")
+    q = ctx.Queue()
+    with sweep_tps._chip_lock(lock):
+        p = ctx.Process(target=try_hold, args=(lock, q))
+        p.start(); p.join(10)
+        assert q.get(timeout=10) == "blocked"
+    p = ctx.Process(target=try_hold, args=(lock, q))
+    p.start(); p.join(10)
+    assert q.get(timeout=10) == "acquired"
+
+    # empty path disables locking entirely (CPU smoke tests)
+    with sweep_tps._chip_lock(""):
+        pass
