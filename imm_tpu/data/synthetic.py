@@ -53,11 +53,11 @@ class SyntheticBlobFaces:
     dtype: str = "float32"  # 'bfloat16' keeps the whole data path off f32
     # Pose correlation between the two frames of ``sample_pair``. 0 (default)
     # draws the two poses independently — the Δ→∞ limit of video frame
-    # pairs. g > 0 instead perturbs frame A's pose: rot/log-scale deltas
-    # ~N(0, g·√2·sd) and center delta ~U(±g·trans_range), so g=1 roughly
-    # matches the independent-draw delta magnitude and smaller g models
-    # temporally closer frames (the real-video frame-gap knob, SURVEY §2
-    # H36M "samples temporal (frame_t, frame_t+Δ) pairs").
+    # pairs. g in (0, 1] interpolates frame A's pose toward a fresh
+    # independent draw (scale in log-space): g=1 is bitwise the independent
+    # draw, smaller g models temporally closer frames, pose marginals stay
+    # inside the prior's support at every g (the real-video frame-gap knob,
+    # SURVEY §2 H36M "samples temporal (frame_t, frame_t+Δ) pairs").
     pair_pose_gap: float = 0.0
 
     @property
@@ -147,19 +147,24 @@ class SyntheticBlobFaces:
         return {"image": img, "landmarks": lm}
 
     def _pose_near(self, rng, pose_a, batch):
-        """Frame-B pose as a bounded perturbation of frame A's (gap > 0)."""
+        """Frame-B pose: interpolate A's pose toward a fresh independent
+        draw by ``g = pair_pose_gap`` (scale in log-space).
+
+        Chosen over additive perturbation (the original form) because it
+        gets all three properties at once: the A→B delta scales with g for
+        every component uniformly (the additive form under-scaled the
+        uniform translation by sqrt(2) relative to rot/scale — round-4
+        review finding), frame B's pose stays inside the pose prior's
+        support (the additive center could reach (1+g)·trans_range), and
+        both endpoints are exact — g=0 is frame A, g=1 is bitwise the
+        independent draw (``rng`` feeds ``_pose`` exactly as the gap<=0
+        branch does)."""
         g = self.pair_pose_gap
-        k_r, k_s, k_t = jax.random.split(rng, 3)
         rot_a, scale_a, center_a = pose_a
-        sq2 = 2.0**0.5  # g=1 ≈ the independent-draw delta sd
-        rot = rot_a + jax.random.normal(k_r, (batch,)) * (g * sq2 * self.rot_sd)
-        scale = scale_a * jnp.exp(
-            jax.random.normal(k_s, (batch,)) * (g * sq2 * self.scale_sd)
-        )
-        center = center_a + jax.random.uniform(
-            k_t, (batch, 2),
-            minval=-g * self.trans_range, maxval=g * self.trans_range,
-        )
+        rot_f, scale_f, center_f = self._pose(rng, batch)
+        rot = (1.0 - g) * rot_a + g * rot_f
+        scale = scale_a ** (1.0 - g) * scale_f**g
+        center = (1.0 - g) * center_a + g * center_f
         return rot, scale, center
 
     def sample_pair(self, rng: jax.Array, batch: int) -> dict[str, jnp.ndarray]:

@@ -244,17 +244,21 @@ def _equi_weight_schedule(train_config: TrainConfig):
     Piecewise-constant like the LR schedule: ``equi_weight`` scaled by
     ``equi_factors[i]`` between boundaries. Constant when no boundaries."""
     if not train_config.equi_boundaries:
-        w = train_config.equi_weight
+        w = train_config.equi_weight * train_config.equi_factors[0]
         return lambda step: w
-    import optax
+    # Direct segment lookup rather than optax's cumulative-ratio form: the
+    # ratio form silently ignored a non-unit factors[0] (weight came out
+    # scaled by factors[i]/factors[0], 4x off for factors=[0.5,1.0]) and
+    # divided by zero on a warm-up-style 0.0 factor.
+    boundaries = jnp.asarray(train_config.equi_boundaries)
+    factors = jnp.asarray(train_config.equi_factors, dtype=jnp.float32)
+    base = train_config.equi_weight
 
-    return optax.piecewise_constant_schedule(
-        train_config.equi_weight,
-        {
-            int(b): train_config.equi_factors[i + 1] / train_config.equi_factors[i]
-            for i, b in enumerate(train_config.equi_boundaries)
-        },
-    )
+    def schedule(step):
+        idx = jnp.sum(step >= boundaries)
+        return base * factors[idx]
+
+    return schedule
 
 
 def make_train_step(

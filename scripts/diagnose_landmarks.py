@@ -23,7 +23,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import hashlib
 import os
 import sys
 
@@ -38,12 +37,15 @@ def main(argv=None):
     parser.add_argument("--out", default=None)
     parser.add_argument("--workdir", default=None,
                         help="override the derived sweep workdir")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="budget the sweep ran this variant at, when it "
+                             "was neither baked nor the runner default "
+                             "(15000) — part of the workdir key")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from imm_tpu.configs import get_preset
     from imm_tpu.data.synthetic import SyntheticBlobFaces
     from imm_tpu.eval.regression import (
         fit_landmark_regressor,
@@ -52,29 +54,19 @@ def main(argv=None):
     )
     from imm_tpu.experiment import build_experiment
     from imm_tpu.ops.coords import marginal_distributions
-    from imm_tpu.utils.config import apply_overrides
-    from sweep_tps import VARIANTS
+    from sweep_tps import VARIANTS, variant_config, variant_workdir
 
+    # Workdir + config come from sweep_tps's own helpers so this diagnostic
+    # restores under EXACTLY the config the checkpoint was trained with
+    # (duplicating the hash recipe here desynchronized once already).
     variant = VARIANTS[args.variant]
-    steps = variant.steps if variant.steps is not None else 15_000
-    overrides = list(variant.overrides)
-    cfg_key = hashlib.sha1(
-        f"{steps}|{'|'.join(overrides)}".encode()
-    ).hexdigest()[:8]
-    workdir = args.workdir or f"/tmp/sweep_work/{args.variant}_{cfg_key}"
+    steps = args.steps or (
+        variant.steps if variant.steps is not None else 15_000
+    )
+    workdir = args.workdir or variant_workdir(args.variant, variant, steps)
     if not os.path.isdir(os.path.join(workdir, "checkpoints")):
         raise SystemExit(f"no checkpoints under {workdir}")
-    config = apply_overrides(
-        get_preset("synthetic"),
-        [
-            f"name={args.variant}",
-            "train.batch_size=128",
-            f"train.total_steps={steps}",
-            "eval_every=3000",
-            f"workdir={workdir}",
-        ]
-        + overrides,
-    )
+    config = variant_config(args.variant, variant, steps, workdir=workdir)
     exp = build_experiment(config, restore=True)
     exp.trainer.restore_or_init()
     state = exp.trainer.state

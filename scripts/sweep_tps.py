@@ -50,10 +50,29 @@ class Variant:
 def load_variants(path: str = REGISTRY_PATH) -> dict[str, Variant]:
     import yaml
 
+    class _DupCheckLoader(yaml.SafeLoader):
+        """yaml.safe_load silently last-wins on duplicate keys — a
+        copy-pasted variant name would train the wrong recipe under a
+        validated name. Fail loud instead."""
+
+    def _no_dup_mapping(loader, node, deep=False):
+        seen = set()
+        for key_node, _ in node.value:
+            key = loader.construct_object(key_node, deep=deep)
+            if key in seen:
+                raise ValueError(f"duplicate registry key: {key!r}")
+            seen.add(key)
+        return yaml.SafeLoader.construct_mapping(loader, node, deep)
+
+    _DupCheckLoader.add_constructor(
+        yaml.resolver.BaseResolver.DEFAULT_MAPPING_TAG, _no_dup_mapping
+    )
     with open(path) as f:
-        raw = yaml.safe_load(f)
+        raw = yaml.load(f, Loader=_DupCheckLoader)
     out: dict[str, Variant] = {}
     for name, spec in raw.items():
+        if spec is None:  # bare "name:" entry — clearer than AttributeError
+            raise ValueError(f"{name}: empty registry entry")
         steps = spec.get("steps")
         budget = re.search(r"_(\d+)k$", name)
         if budget and steps != int(budget.group(1)) * 1000:
@@ -83,6 +102,41 @@ def default_variants() -> list[str]:
     ]
 
 
+def variant_workdir(name: str, variant: Variant, steps: int) -> str:
+    """Scratch workdir for a variant, keyed on (name, steps, overrides) so
+    an edited variant under the same name never silently resumes a stale
+    checkpoint from the old config. Shared with
+    scripts/diagnose_landmarks.py — the two MUST derive identical paths or
+    post-hoc diagnostics restore the wrong (or no) checkpoint."""
+    import hashlib
+
+    cfg_key = hashlib.sha1(
+        f"{steps}|{'|'.join(variant.overrides)}".encode()
+    ).hexdigest()[:8]
+    return f"/tmp/sweep_work/{name}_{cfg_key}"
+
+
+def variant_config(name: str, variant: Variant, steps: int,
+                   workdir: str | None = None):
+    """The exact ExperimentConfig a sweep run of ``variant`` trains under
+    (base sweep protocol + the variant's overrides). Single source of truth
+    for both the runner and diagnose_landmarks."""
+    from imm_tpu.configs import get_preset
+    from imm_tpu.utils.config import apply_overrides
+
+    return apply_overrides(
+        get_preset("synthetic"),
+        [
+            f"name={name}",
+            "train.batch_size=128",
+            f"train.total_steps={steps}",
+            "eval_every=3000",
+            f"workdir={workdir or variant_workdir(name, variant, steps)}",
+        ]
+        + list(variant.overrides),
+    )
+
+
 def run_variant(name: str, variant: Variant, steps: int, out_path: str):
     """Train one variant for ``steps`` and append its record to out_path.
 
@@ -90,34 +144,15 @@ def run_variant(name: str, variant: Variant, steps: int, out_path: str):
     has one — resolved by ``main``)."""
     import jax
 
-    from imm_tpu.configs import get_preset
     from imm_tpu.experiment import build_experiment
-    from imm_tpu.utils.config import apply_overrides
 
     # Long runs wedge occasionally (lost device RPC -> stall watchdog exits
-    # 42): give each variant a scratch workdir so Orbax checkpoints every
-    # 1000 steps and a shell retry loop resumes instead of restarting.
-    # After a resume the recorded curve covers only the final process's
-    # steps; `final` is always the converged number. The workdir is keyed
-    # on (name, steps, overrides) so an edited variant under the same name
-    # never silently resumes a stale checkpoint from the old config.
-    import hashlib
-
+    # 42): the per-variant scratch workdir (variant_workdir) lets Orbax
+    # checkpoint every 1000 steps and a shell retry loop resume instead of
+    # restarting. After a resume the recorded curve covers only the final
+    # process's steps; `final` is always the converged number.
     overrides = list(variant.overrides)
-    cfg_key = hashlib.sha1(
-        f"{steps}|{'|'.join(overrides)}".encode()
-    ).hexdigest()[:8]
-    config = apply_overrides(
-        get_preset("synthetic"),
-        [
-            f"name={name}",
-            "train.batch_size=128",
-            f"train.total_steps={steps}",
-            "eval_every=3000",
-            f"workdir=/tmp/sweep_work/{name}_{cfg_key}",
-        ]
-        + overrides,
-    )
+    config = variant_config(name, variant, steps)
     exp = build_experiment(config, restore=True)
     t0 = time.time()
     state = exp.run()
@@ -152,9 +187,17 @@ def _recorded(out_path: str) -> set[tuple[str, int]]:
     if os.path.exists(out_path):
         with open(out_path) as f:
             for line in f:
-                if line.strip():
+                if not line.strip():
+                    continue
+                try:
                     r = json.loads(line)
                     done.add((r["variant"], int(r["steps"])))
+                except (ValueError, KeyError):
+                    # A SIGKILLed writer can leave a torn final line; treat
+                    # it as not-recorded instead of crashing every future
+                    # queue invocation on it.
+                    print(f"[sweep] ignoring unparseable line in {out_path}: "
+                          f"{line[:80]!r}", flush=True)
     return done
 
 

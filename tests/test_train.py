@@ -351,6 +351,27 @@ def test_pair_pose_gap_correlates_frame_poses():
     )
     # still a *pair*: B is not just A
     assert d(p_near) > 1e-3
+    # exact endpoint: g=1 IS the independent draw, bitwise (interpolation
+    # construction — the fresh draw consumes the key exactly like gap<=0)
+    p_one = SyntheticBlobFaces(image_size=32, pair_pose_gap=1.0).sample_pair(
+        key, 64
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p_free["landmarks_b"]), np.asarray(p_one["landmarks_b"])
+    )
+    # delta scales ~linearly with g across components (the additive form
+    # under-scaled translation by sqrt(2) relative to rot/scale)
+    p_half = SyntheticBlobFaces(image_size=32, pair_pose_gap=0.5).sample_pair(
+        key, 256
+    )
+    p_ind = SyntheticBlobFaces(image_size=32).sample_pair(key, 256)
+    c_half = np.asarray(
+        (p_half["landmarks_b"] - p_half["landmarks_a"]).mean(axis=1)
+    ).std()
+    c_ind = np.asarray(
+        (p_ind["landmarks_b"] - p_ind["landmarks_a"]).mean(axis=1)
+    ).std()
+    np.testing.assert_allclose(c_half, 0.5 * c_ind, rtol=0.15)
 
 
 def test_equi_weight_schedule():
