@@ -76,6 +76,19 @@ class TrainConfig:
     sep_weight: float = 0.0
     sep_margin: float = 0.2
     # EXTENSION (not in the reference — off by default keeps reference
+    # behavior): heatmap-concentration penalty. The round-4 error
+    # decomposition of the K=30 flagship (docs/artifacts/
+    # diagnose_final_ind_3x_k30_noisefeat_equi1_ema_60k.md) found ~17/30
+    # landmarks with diffuse heatmaps (20-35 px marginal std) that barely
+    # move — idle capacity contributing no pose information to the readout.
+    # The penalty is the normalized Shannon entropy of the same y/x marginal
+    # distributions the spatial softmax reads coordinates from (mean over
+    # batch, landmarks, and both axes; normalized by log(n) so the knob is
+    # resolution-independent, 1.0 = uniform). Unlike the softmax-temperature
+    # knob (which only sharpens the readout), this pressures the pose
+    # encoder to CONCENTRATE the heatmaps themselves.
+    ent_weight: float = 0.0
+    # EXTENSION (not in the reference — off by default keeps reference
     # behavior): Polyak/EMA averaging of the parameters,
     # ``ema = d*ema + (1-d)*params`` after every update. When on, eval
     # reports metrics for BOTH raw and EMA params (``*_ema`` keys) so one

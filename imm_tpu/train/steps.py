@@ -73,6 +73,35 @@ def landmark_separation_loss(
     return jnp.mean(jnp.sum(hinge, axis=(1, 2)) / (k * (k - 1)))
 
 
+def marginal_entropy_loss(
+    heatmaps: jnp.ndarray, temperature: float = 1.0
+) -> jnp.ndarray:
+    """Normalized entropy of the spatial-softmax marginals (scalar).
+
+    ``heatmaps``: (B, H, W, K) raw pose-encoder activations. Computes the
+    Shannon entropy of the SAME y/x marginal distributions the coordinate
+    readout uses (``ops.coords.marginal_distributions``, same temperature),
+    normalized by log(n) per axis so 1.0 = uniform regardless of bottleneck
+    resolution; returns the mean over batch, landmarks, and both axes.
+    Motivated by the round-4 K=30 error decomposition (docs/artifacts/
+    diagnose_final_ind_3x_k30_noisefeat_equi1_ema_60k.md): ~17/30 landmarks
+    sat diffuse (20-35 px marginal std) and near-static — idle readout
+    capacity. Penalizing marginal entropy pressures the encoder to commit
+    every heatmap to a location.
+    """
+    from imm_tpu.ops.coords import marginal_distributions
+
+    py, px = marginal_distributions(heatmaps, temperature)
+
+    def _ent(p, axis_n):
+        e = -jnp.sum(p * jnp.log(p + 1e-12), axis=1)  # (B, K) nats
+        return e / jnp.log(float(axis_n))
+
+    ent_y = _ent(py, heatmaps.shape[1])
+    ent_x = _ent(px, heatmaps.shape[2])
+    return jnp.mean(0.5 * (ent_y + ent_x))
+
+
 def _single_step(
     model: IMM,
     loss_fn: ReconstructionLoss,
@@ -84,6 +113,7 @@ def _single_step(
     axis_name: str | None = None,
     equi: tuple | None = None,
     sep: tuple | None = None,
+    ent: tuple | None = None,
     ema_decay: float = 0.0,
 ) -> tuple[TrainState, Metrics]:
     """One optimizer update given an already-synthesized (source, target).
@@ -110,6 +140,12 @@ def _single_step(
     ``mean_pairs relu(margin - d_ij)^2``. Zero once every landmark pair is
     >= margin apart (coords in [-1, 1]), so it only acts on collapsed /
     duplicated landmarks (the round-4 diagnosis found two, 1.1 px apart).
+
+    ``ent``: optional ``(weight, temperature)`` — the opt-in heatmap-
+    concentration EXTENSION (TrainConfig.ent_weight): normalized entropy of
+    the main pass's spatial-softmax marginals (``marginal_entropy_loss``);
+    targets the K=30 lazy-landmark failure mode (diffuse near-static
+    heatmaps = idle readout capacity).
     """
 
     def objective(params):
@@ -153,6 +189,14 @@ def _single_step(
             total = total + w_sep * sep_loss
             metrics = dict(metrics)
             metrics["loss/sep"] = sep_loss
+        if ent is not None:
+            w_ent, temp = ent
+            ent_loss = marginal_entropy_loss(out.heatmaps, temp)
+            if axis_name is not None:
+                ent_loss = jax.lax.pmean(ent_loss, axis_name)
+            total = total + w_ent * ent_loss
+            metrics = dict(metrics)
+            metrics["loss/ent"] = ent_loss
         new_stats = mutated.get("batch_stats", state.batch_stats)
         return total, (new_stats, new_ema, metrics)
 
@@ -290,6 +334,10 @@ def make_train_step(
         (train_config.sep_weight, train_config.sep_margin)
         if train_config.sep_weight > 0 else None
     )
+    ent = (
+        (train_config.ent_weight, model.config.temperature)
+        if train_config.ent_weight > 0 else None
+    )
 
     def synth(rng, batch):
         if pair_mode == "tps":
@@ -326,6 +374,7 @@ def make_train_step(
             axis_name=axis,
             equi=equi,
             sep=sep,
+            ent=ent,
             ema_decay=train_config.param_ema_decay,
         )
 
@@ -391,6 +440,10 @@ def make_synthetic_train_step(
         (train_config.sep_weight, train_config.sep_margin)
         if train_config.sep_weight > 0 else None
     )
+    ent = (
+        (train_config.ent_weight, model.config.temperature)
+        if train_config.ent_weight > 0 else None
+    )
     local_batch = (
         train_config.batch_size // mesh.size if axis else train_config.batch_size
     )
@@ -428,6 +481,7 @@ def make_synthetic_train_step(
             axis_name=axis,
             equi=equi,
             sep=sep,
+            ent=ent,
             ema_decay=train_config.param_ema_decay,
         )
 

@@ -497,3 +497,62 @@ def test_sep_penalty_in_train_step():
         float(m_off["loss/total"]) + float(m_on["loss/sep"]),
         rtol=1e-5,
     )
+
+
+def test_marginal_entropy_loss_math():
+    """0 for a delta marginal, 1 for uniform; sharper maps score lower."""
+    from imm_tpu.train.steps import marginal_entropy_loss
+
+    h, w = 16, 16
+    # one-hot heatmap (huge logit at one pixel) -> marginals are deltas
+    delta = jnp.full((1, h, w, 1), -1e4, jnp.float32)
+    delta = delta.at[0, 5, 7, 0].set(1e4)
+    assert float(marginal_entropy_loss(delta)) < 1e-3
+    # constant heatmap -> uniform marginals -> normalized entropy 1
+    flat = jnp.zeros((1, h, w, 1), jnp.float32)
+    np.testing.assert_allclose(float(marginal_entropy_loss(flat)), 1.0, rtol=1e-5)
+    # a concentrated Gaussian bump scores lower than a diffuse one
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    def bump(std):
+        logit = -((yy - 8.0) ** 2 + (xx - 8.0) ** 2) / (2 * std**2)
+        return logit[None, :, :, None].astype(jnp.float32) * 40.0
+    sharp = float(marginal_entropy_loss(bump(1.0)))
+    diffuse = float(marginal_entropy_loss(bump(6.0)))
+    assert sharp < diffuse
+    # gradient is finite and points toward concentration
+    g = jax.grad(marginal_entropy_loss)(bump(6.0))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ent_penalty_in_train_step():
+    """ent_weight > 0 reports loss/ent and matches the off-path otherwise."""
+    import dataclasses
+
+    loss_fn = ReconstructionLoss(
+        PerceptualLossConfig(feature_source="pixel", weights=(1.0, 1.0, 1.0))
+    )
+    tcfg_on = TrainConfig(
+        batch_size=4, lr_boundaries=(), lr_factors=(1.0,), ent_weight=0.5,
+    )
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), TINY, tcfg_on, loss_fn.n_terms
+    )
+    pair = PairSynthesizer(
+        dataclasses.replace(PairConfig(), enable_warp=False, enable_jitter=False)
+    )
+    x = jnp.linspace(0, 1, 4 * 32 * 32 * 3, dtype=jnp.float32).reshape(4, 32, 32, 3)
+    step_on = make_train_step(model, loss_fn, tcfg_on, pair, "tps", donate=False)
+    s_on, m_on = step_on(state, {"image": x}, jax.random.PRNGKey(1))
+    ent = float(m_on["loss/ent"])
+    assert np.isfinite(ent) and 0.0 <= ent <= 1.0
+
+    tcfg_off = dataclasses.replace(tcfg_on, ent_weight=0.0)
+    step_off = make_train_step(model, loss_fn, tcfg_off, pair, "tps", donate=False)
+    _, m_off = step_off(state, {"image": x}, jax.random.PRNGKey(1))
+    assert "loss/ent" not in m_off
+    # the penalty actually entered the objective (weight 0.5)
+    np.testing.assert_allclose(
+        float(m_on["loss/total"]),
+        float(m_off["loss/total"]) + 0.5 * ent,
+        rtol=1e-5,
+    )
