@@ -110,11 +110,13 @@ PRESETS: dict[str, ExperimentConfig] = {
         loss=_TPU_LOSS,
         data=DataConfig(source="celeba", pair_mode="tps"),
     ),
-    # Best-known OFFLINE recipe on the synthetic harness (round-3 sweep,
+    # Best-known OFFLINE recipe on the synthetic harness (round-3/4 sweeps,
     # docs/artifacts/sweep_tps.md): ind_2x warps + half-res VGG + the
-    # noise-corruption TRAINED feature trunk + the equivariance extension.
-    # Converged result: 3.48 %IOD at 60k for K=10 (vs 5.90 without the two
-    # round-3 levers — docs/artifacts/final_runs.md).
+    # noise-corruption TRAINED feature trunk + the equivariance extension at
+    # the K=10 dose-response winner weight 2.0 (4.35/4.12/3.30/3.99 @15k for
+    # 0.5/1/2/4). Converged result: 3.42 %IOD at 60k for K=10
+    # (final_ind_2x_k10_noisefeat_equi2_ema_60k; equi1 read 3.48, round-2
+    # recipe 5.90 — docs/artifacts/final_runs.md).
     # Requires weights/trained_features_noise.npz (scripts/train_features.py
     # --corruption noise); errors with a pointer if absent.
     "synthetic_best": ExperimentConfig(
@@ -126,7 +128,7 @@ PRESETS: dict[str, ExperimentConfig] = {
             total_steps=60_000,
             lr_boundaries=(35_000, 50_000),
             lr_factors=(1.0, 0.3, 0.1),
-            equi_weight=1.0,
+            equi_weight=2.0,
         ),
         pair=dataclasses.replace(
             _FACE_PAIR,
@@ -167,15 +169,21 @@ PRESETS: dict[str, ExperimentConfig] = {
 }
 
 # K=30 variant of the best-known offline recipe: ind_3x warps (the K=30
-# sweep winner) + the same noise trunk + equivariance. Converged to
-# 1.77 %IOD at 60k (final_ind_3x_k30_noisefeat_equi_60k — the best number
-# this harness has produced; non-equi 2.03, round-2 flagship 2.24,
-# supervised K=30 oracle ceiling 1.37).
+# sweep winner) + the same noise trunk + equivariance AT WEIGHT 1.0 — the
+# equi dose optimum is K-dependent (K=30 @15k: 2.27 at weight 1 vs 2.84 at
+# weight 2, sweep_tps.md), so this preset overrides the K=10 parent's 2.0.
+# Converged to 1.77 %IOD at 60k (final_ind_3x_k30_noisefeat_equi_60k — the
+# best number this harness has produced; the EMA re-run read 1.98,
+# calibrating run-to-run sigma ~0.1-0.2; non-equi 2.03, round-2 flagship
+# 2.24, supervised K=30 oracle ceiling 1.37).
 PRESETS["synthetic_best_k30"] = dataclasses.replace(
     PRESETS["synthetic_best"],
     name="synthetic_best_k30",
     model=dataclasses.replace(
         PRESETS["synthetic_best"].model, n_landmarks=30
+    ),
+    train=dataclasses.replace(
+        PRESETS["synthetic_best"].train, equi_weight=1.0
     ),
     pair=dataclasses.replace(
         _FACE_PAIR,
