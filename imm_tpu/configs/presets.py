@@ -90,10 +90,15 @@ PRESETS: dict[str, ExperimentConfig] = {
         eval_every=10_000,
         stall_timeout_s=900.0,
     ),
+    # Equivariance weight 1.0: the only lever that measured positive in
+    # temporal mode (round-4 decomposition, sweep_tps.md: 2.29 vs plain 2.99
+    # @15k; converged final_temporal_k30_equi1_60k 2.01 vs 2.08). In temporal
+    # mode the extension synthesizes its own known warp of the target as the
+    # auxiliary view, so enable_warp=False still holds for the PAIR.
     "human36m": ExperimentConfig(
         name="human36m",
         model=IMMConfig(n_landmarks=16, image_size=128, compute_dtype="bfloat16"),
-        train=_TPU_TRAIN,
+        train=dataclasses.replace(_TPU_TRAIN, equi_weight=1.0),
         pair=PairConfig(enable_warp=False),  # temporal pairs, jitter only
         loss=_TPU_LOSS,
         data=DataConfig(source="human36m", pair_mode="temporal", eval_norm="size"),
