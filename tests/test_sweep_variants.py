@@ -117,3 +117,43 @@ def test_recorded_reread_and_chip_lock(tmp_path):
     # empty path disables locking entirely (CPU smoke tests)
     with sweep_tps._chip_lock(""):
         pass
+
+
+def test_summarize_sweep_never_touches_curated_docs(tmp_path):
+    """The renderer writes <stem>_table.md + curve files ONLY — an earlier
+    version rewrote the hand-curated sweep_tps.md wholesale."""
+    import json
+
+    sys.path.insert(0, scripts_dir)
+    try:
+        import summarize_sweep
+    finally:
+        sys.path.remove(scripts_dir)
+
+    curated = tmp_path / "sweep_tps.md"
+    curated.write_text("# hand-written analysis — must survive\n")
+    rec = {
+        "variant": "final_demo_60k",
+        "steps": 60000,
+        "overrides": ["train.equi_weight=1.0"],
+        "final": {
+            "landmark_error_test_pct": 2.0,
+            "landmark_error_train_pct": 1.9,
+            "landmark_error_test_pct_ema": 2.1,
+        },
+        "curve": [{
+            "step": 3000,
+            "eval/landmark_error_test_pct": 5.0,
+            "eval/landmark_error_train_pct": 4.9,
+        }],
+    }
+    inp = tmp_path / "final_runs.jsonl"
+    inp.write_text(json.dumps(rec) + "\n")
+    summarize_sweep.main(["--inp", str(inp)])
+
+    assert curated.read_text() == "# hand-written analysis — must survive\n"
+    table = (tmp_path / "final_runs_table.md").read_text()
+    assert "final_demo_60k" in table and "2.10" in table  # EMA column present
+    # finals keep the un-prefixed historical curve name
+    assert (tmp_path / "eval_curve_final_demo_60k.txt").exists()
+    assert not (tmp_path / "eval_curve_sweep_final_demo_60k.txt").exists()
