@@ -88,6 +88,14 @@ def marginal_entropy_loss(
     sat diffuse (20-35 px marginal std) and near-static — idle readout
     capacity. Penalizing marginal entropy pressures the encoder to commit
     every heatmap to a location.
+
+    The XLA ``marginal_distributions`` here is deliberately the single
+    definition of "the marginals" even when ``model.config.bottleneck_impl
+    == 'pallas'`` (ADVICE r4): the Pallas kernel recomputes the same
+    marginal softmax in-register and is pinned to this definition by
+    ``tests/test_fused.py`` (forward AND gradient, atol=1e-5) — if that
+    parity ever loosens, tighten the kernel, don't fork the penalty onto
+    kernel internals.
     """
     from imm_tpu.ops.coords import marginal_distributions
 

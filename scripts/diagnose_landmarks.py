@@ -41,6 +41,9 @@ def main(argv=None):
                         help="budget the sweep ran this variant at, when it "
                              "was neither baked nor the runner default "
                              "(15000) — part of the workdir key")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="replicate seed the run trained under (part of "
+                             "the workdir key; 0 = historical default)")
     args = parser.parse_args(argv)
 
     import jax
@@ -63,10 +66,12 @@ def main(argv=None):
     steps = args.steps or (
         variant.steps if variant.steps is not None else 15_000
     )
-    workdir = args.workdir or variant_workdir(args.variant, variant, steps)
+    workdir = args.workdir or variant_workdir(args.variant, variant, steps,
+                                              seed=args.seed)
     if not os.path.isdir(os.path.join(workdir, "checkpoints")):
         raise SystemExit(f"no checkpoints under {workdir}")
-    config = variant_config(args.variant, variant, steps, workdir=workdir)
+    config = variant_config(args.variant, variant, steps, workdir=workdir,
+                            seed=args.seed)
     exp = build_experiment(config, restore=True)
     exp.trainer.restore_or_init()
     state = exp.trainer.state

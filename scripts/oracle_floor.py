@@ -76,8 +76,19 @@ def gt_parts_oracle(train, test) -> dict:
     return {"name": "gt_parts", "test_pct": float(err_test)}
 
 
-def supervised_oracle(k: int, steps: int, batch: int, train, test) -> dict:
-    """Control B: supervised PoseEncoder+bottleneck at K landmarks."""
+def supervised_oracle(k: int, steps: int, batch: int, train, test,
+                      temporal: bool = False, pose_gap: float = 0.0) -> dict:
+    """Control B: supervised PoseEncoder+bottleneck at K landmarks.
+
+    ``temporal=True`` measures the ceiling for the TEMPORAL protocol
+    (VERDICT r4 next #4): the supervised stream is drawn exactly as the
+    temporal recipe's image stream — ``sample_pair`` frames (same identity,
+    two poses at ``pose_gap``; gap 0 = the shipped temporal recipe, where
+    each frame's marginal equals the pose prior but identities repeat twice
+    per batch). The trunk, bottleneck, eval sets, and scoring protocol are
+    unchanged, so the two oracles differ only by what the temporal model
+    could ever differ by: its training-image stream.
+    """
     import flax.linen as nn
     import jax
     import jax.numpy as jnp
@@ -112,7 +123,8 @@ def supervised_oracle(k: int, steps: int, batch: int, train, test) -> dict:
             return coords, pred.reshape(-1, n_annotated, 2)
 
     model = SupervisedPose(n_landmarks=k)
-    faces = SyntheticBlobFaces(image_size=IMAGE_SIZE)
+    faces = SyntheticBlobFaces(image_size=IMAGE_SIZE,
+                               pair_pose_gap=pose_gap)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
     variables = model.init(rng, dummy)
@@ -125,14 +137,22 @@ def supervised_oracle(k: int, steps: int, batch: int, train, test) -> dict:
     opt_state = tx.init(params)
 
     def loss_fn(params, stats, rng):
-        d = faces.sample(rng, batch)
+        if temporal:
+            d2 = faces.sample_pair(rng, batch // 2)
+            images = jnp.concatenate([d2["image_a"], d2["image_b"]])
+            targets = jnp.concatenate(
+                [d2["landmarks_a"], d2["landmarks_b"]]
+            )
+        else:
+            d = faces.sample(rng, batch)
+            images, targets = d["image"], d["landmarks"]
         (coords, pred), mut = model.apply(
             {"params": params, "batch_stats": stats},
-            d["image"],
+            images,
             train=True,
             mutable=["batch_stats"],
         )
-        loss = jnp.mean(jnp.square(pred - d["landmarks"]))
+        loss = jnp.mean(jnp.square(pred - targets))
         return loss, mut["batch_stats"]
 
     def one(carry, rng):
@@ -177,8 +197,13 @@ def supervised_oracle(k: int, steps: int, batch: int, train, test) -> dict:
     res = evaluate_landmarks(
         coords_fn, params, batch_stats, train, test, norm="iod"
     )
+    name = f"supervised_k{k}"
+    if temporal:
+        name = f"supervised_temporal_k{k}"
+        if pose_gap:
+            name += f"_gap{pose_gap:g}"
     return {
-        "name": f"supervised_k{k}",
+        "name": name,
         "k": k,
         "steps": steps,
         "batch": batch,
@@ -193,6 +218,14 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=6000)
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--k", default="5,10,30")
+    parser.add_argument("--temporal", action="store_true",
+                        help="measure the temporal-protocol ceiling: train "
+                             "the supervised oracle on sample_pair frames "
+                             "(the temporal recipe's image stream) instead "
+                             "of i.i.d. single frames")
+    parser.add_argument("--pose-gap", type=float, default=0.0,
+                        help="pair_pose_gap for --temporal (0 = shipped "
+                             "temporal recipe)")
     parser.add_argument("--out", default="docs/artifacts/oracle_floor.jsonl")
     args = parser.parse_args(argv)
 
@@ -218,10 +251,16 @@ def main(argv=None):
         record(gt_parts_oracle(train, test))
     for k in [int(x) for x in args.k.split(",")]:
         name = f"supervised_k{k}"
+        if args.temporal:
+            name = f"supervised_temporal_k{k}"
+            if args.pose_gap:
+                name += f"_gap{args.pose_gap:g}"
         if name in done:
             print(f"[oracle] {name}: already recorded, skipping", flush=True)
             continue
-        record(supervised_oracle(k, args.steps, args.batch, train, test))
+        record(supervised_oracle(k, args.steps, args.batch, train, test,
+                                 temporal=args.temporal,
+                                 pose_gap=args.pose_gap))
         jax.clear_caches()
 
 

@@ -39,12 +39,27 @@ REGISTRY_PATH = os.path.join(
 )
 
 
+VALID_STATUSES = ("active", "refuted", "cancelled")
+
+
 @dataclasses.dataclass(frozen=True)
 class Variant:
-    """One registry entry: overrides + optional baked step budget."""
+    """One registry entry: overrides + optional baked step budget.
+
+    ``status`` gates execution (VERDICT r4 weak #3 / next #7): ``refuted`` /
+    ``cancelled`` entries stay in the registry as recorded decisions but the
+    runner refuses them without ``--force``, so a later ``--only`` list or a
+    name typo cannot spend a chip-hour on a known-dead recipe. Non-active
+    entries MUST carry a ``reason`` pointing at the doc/commit that killed
+    them. ``seeds`` makes replication a first-class dimension (VERDICT r4
+    next #2): each seed is an independent run unit keyed in the resume-skip
+    set, trained with ``train.seed=<s>`` on top of the overrides."""
 
     overrides: tuple[str, ...]
     steps: int | None = None  # None -> the runner's --steps applies
+    status: str = "active"
+    reason: str | None = None  # mandatory for non-active statuses
+    seeds: tuple[int, ...] = (0,)
 
 
 def load_variants(path: str = REGISTRY_PATH) -> dict[str, Variant]:
@@ -81,7 +96,24 @@ def load_variants(path: str = REGISTRY_PATH) -> dict[str, Variant]:
                 f"registry bakes steps={steps} — bake the named budget "
                 "(ADVICE r3)"
             )
-        out[name] = Variant(tuple(spec.get("overrides") or ()), steps)
+        status = spec.get("status", "active")
+        if status not in VALID_STATUSES:
+            raise ValueError(f"{name}: unknown status {status!r}; "
+                             f"one of {VALID_STATUSES}")
+        reason = spec.get("reason")
+        if status != "active" and not reason:
+            raise ValueError(
+                f"{name}: status={status} requires a `reason` pointing at "
+                "the doc/commit that killed it (VERDICT r4 #7)"
+            )
+        seeds = tuple(spec.get("seeds") or (0,))
+        if len(set(seeds)) != len(seeds) or not all(
+            isinstance(s, int) for s in seeds
+        ):
+            raise ValueError(f"{name}: seeds must be distinct ints: {seeds}")
+        out[name] = Variant(
+            tuple(spec.get("overrides") or ()), steps, status, reason, seeds
+        )
     return out
 
 
@@ -97,30 +129,37 @@ def default_variants() -> list[str]:
     return [
         n for n, v in VARIANTS.items()
         if v.steps is None
+        and v.status == "active"
         and not any(o.startswith("train.lr_boundaries") for o in v.overrides)
         and "feat" not in n
     ]
 
 
-def variant_workdir(name: str, variant: Variant, steps: int) -> str:
-    """Scratch workdir for a variant, keyed on (name, steps, overrides) so
-    an edited variant under the same name never silently resumes a stale
-    checkpoint from the old config. Shared with
-    scripts/diagnose_landmarks.py — the two MUST derive identical paths or
-    post-hoc diagnostics restore the wrong (or no) checkpoint."""
+def variant_workdir(name: str, variant: Variant, steps: int,
+                    seed: int = 0) -> str:
+    """Scratch workdir for a variant, keyed on (name, steps, overrides,
+    seed) so an edited variant under the same name never silently resumes a
+    stale checkpoint from the old config, and seed replicates never share
+    checkpoints. Seed 0 keeps the historical (pre-seed-dimension) hash so
+    every round-≤4 checkpoint still resolves for diagnose_landmarks. Shared
+    with scripts/diagnose_landmarks.py — the two MUST derive identical paths
+    or post-hoc diagnostics restore the wrong (or no) checkpoint."""
     import hashlib
 
-    cfg_key = hashlib.sha1(
-        f"{steps}|{'|'.join(variant.overrides)}".encode()
-    ).hexdigest()[:8]
+    key = f"{steps}|{'|'.join(variant.overrides)}"
+    if seed != 0:
+        key += f"|seed={seed}"
+    cfg_key = hashlib.sha1(key.encode()).hexdigest()[:8]
     return f"/tmp/sweep_work/{name}_{cfg_key}"
 
 
 def variant_config(name: str, variant: Variant, steps: int,
-                   workdir: str | None = None):
+                   workdir: str | None = None, seed: int = 0):
     """The exact ExperimentConfig a sweep run of ``variant`` trains under
     (base sweep protocol + the variant's overrides). Single source of truth
-    for both the runner and diagnose_landmarks."""
+    for both the runner and diagnose_landmarks. ``train.seed`` is appended
+    AFTER the variant overrides so the seed dimension wins even if a recipe
+    ever bakes a seed."""
     from imm_tpu.configs import get_preset
     from imm_tpu.utils.config import apply_overrides
 
@@ -131,14 +170,17 @@ def variant_config(name: str, variant: Variant, steps: int,
             "train.batch_size=128",
             f"train.total_steps={steps}",
             "eval_every=3000",
-            f"workdir={workdir or variant_workdir(name, variant, steps)}",
+            f"workdir={workdir or variant_workdir(name, variant, steps, seed)}",
         ]
-        + list(variant.overrides),
+        + list(variant.overrides)
+        + [f"train.seed={seed}"],
     )
 
 
-def run_variant(name: str, variant: Variant, steps: int, out_path: str):
-    """Train one variant for ``steps`` and append its record to out_path.
+def run_variant(name: str, variant: Variant, steps: int, out_path: str,
+                seed: int = 0):
+    """Train one (variant, seed) replicate for ``steps`` and append its
+    record to out_path.
 
     ``steps`` is the *effective* budget (the variant's baked budget when it
     has one — resolved by ``main``)."""
@@ -152,7 +194,7 @@ def run_variant(name: str, variant: Variant, steps: int, out_path: str):
     # restarting. After a resume the recorded curve covers only the final
     # process's steps; `final` is always the converged number.
     overrides = list(variant.overrides)
-    config = variant_config(name, variant, steps)
+    config = variant_config(name, variant, steps, seed=seed)
     exp = build_experiment(config, restore=True)
     t0 = time.time()
     state = exp.run()
@@ -165,6 +207,11 @@ def run_variant(name: str, variant: Variant, steps: int, out_path: str):
     rec = {
         "variant": name,
         "steps": steps,
+        "seed": seed,
+        # Explicit record kind so downstream artifact naming never infers it
+        # from the variant name (ADVICE r4: a probe accidentally named
+        # final_* must not overwrite a historical final-run curve file).
+        "kind": "final" if variant.steps is not None else "probe",
         "overrides": overrides,
         "final": final,
         "curve": curve,
@@ -172,18 +219,21 @@ def run_variant(name: str, variant: Variant, steps: int, out_path: str):
     }
     with open(out_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
-    print(f"[sweep] {name}: test={final['landmark_error_test_pct']:.2f}%IOD "
+    print(f"[sweep] {name} seed={seed}: "
+          f"test={final['landmark_error_test_pct']:.2f}%IOD "
           f"({rec['wall_s']:.0f}s)", flush=True)
     jax.clear_caches()
 
 
-def _recorded(out_path: str) -> set[tuple[str, int]]:
-    """(variant, steps) pairs already recorded in ``out_path``.
+def _recorded(out_path: str) -> set[tuple[str, int, int]]:
+    """(variant, steps, seed) triples already recorded in ``out_path``.
 
     Keyed on steps too: a mis-stepped run must not shadow the real one
-    (ADVICE r3). Re-read before every variant, not once at startup — a
-    concurrent runner may have recorded it since."""
-    done: set[tuple[str, int]] = set()
+    (ADVICE r3). Pre-seed-dimension records carry no ``seed`` field and are
+    exactly the seed-0 runs (train.seed defaulted to 0), so they key as 0.
+    Re-read before every variant, not once at startup — a concurrent runner
+    may have recorded it since."""
+    done: set[tuple[str, int, int]] = set()
     if os.path.exists(out_path):
         with open(out_path) as f:
             for line in f:
@@ -191,7 +241,8 @@ def _recorded(out_path: str) -> set[tuple[str, int]]:
                     continue
                 try:
                     r = json.loads(line)
-                    done.add((r["variant"], int(r["steps"])))
+                    done.add((r["variant"], int(r["steps"]),
+                              int(r.get("seed", 0))))
                 except (ValueError, KeyError):
                     # A SIGKILLed writer can leave a torn final line; treat
                     # it as not-recorded instead of crashing every future
@@ -238,6 +289,15 @@ def main(argv=None):
         "--only", default=None, help="comma-separated variant subset"
     )
     parser.add_argument(
+        "--seeds", default=None,
+        help="comma-separated seed list; overrides each variant's registry "
+             "`seeds` (default: the registry's, itself defaulting to 0)",
+    )
+    parser.add_argument(
+        "--force", action="store_true",
+        help="run refuted/cancelled registry entries anyway",
+    )
+    parser.add_argument(
         "--lock-file", default="/tmp/imm_tpu_chip.lock",
         help="advisory lock serializing runners on the single chip "
              "('' disables)",
@@ -256,22 +316,36 @@ def main(argv=None):
     unknown = sorted(set(names) - VARIANTS.keys())
     if unknown:  # fail in milliseconds, not hours into the sweep
         raise SystemExit(f"unknown variants {unknown}; options: {sorted(VARIANTS)}")
+    # Status gate fails the WHOLE invocation up front (not per-variant at
+    # its turn, hours in): a dead entry in a queue is a planning error.
+    dead = [n for n in names if VARIANTS[n].status != "active"]
+    if dead and not args.force:
+        raise SystemExit(
+            f"refusing non-active variants {dead} "
+            f"({', '.join(f'{n}: {VARIANTS[n].reason}' for n in dead)}); "
+            "re-run with --force to override (VERDICT r4 #7)"
+        )
+    cli_seeds = ([int(s) for s in args.seeds.split(",")]
+                 if args.seeds else None)
     for name in names:
         variant = VARIANTS[name]
         steps = variant.steps if variant.steps is not None else args.steps
-        # Serialize runners on the single chip: two sweep queues launched
-        # within minutes of each other once time-sliced the device (halved
-        # img/s) AND both trained the same variant — each read the done-set
-        # at startup, before either had recorded it (round-4 postmortem:
-        # bitwise-duplicate temporal_k30_noisefeat rows). The lock makes
-        # concurrent queues interleave at variant granularity, and the
-        # done-set is re-read UNDER the lock so the loser of the race skips.
-        with _chip_lock(args.lock_file):
-            if (name, steps) in _recorded(args.out):
-                print(f"[sweep] {name}: already recorded at {steps} steps, "
-                      "skipping", flush=True)
-                continue
-            run_variant(name, variant, steps, args.out)
+        seeds = cli_seeds if cli_seeds is not None else variant.seeds
+        for seed in seeds:
+            # Serialize runners on the single chip: two sweep queues launched
+            # within minutes of each other once time-sliced the device
+            # (halved img/s) AND both trained the same variant — each read
+            # the done-set at startup, before either had recorded it
+            # (round-4 postmortem: bitwise-duplicate temporal_k30_noisefeat
+            # rows). The lock makes concurrent queues interleave at run
+            # granularity, and the done-set is re-read UNDER the lock so the
+            # loser of the race skips.
+            with _chip_lock(args.lock_file):
+                if (name, steps, seed) in _recorded(args.out):
+                    print(f"[sweep] {name} seed={seed}: already recorded at "
+                          f"{steps} steps, skipping", flush=True)
+                    continue
+                run_variant(name, variant, steps, args.out, seed=seed)
 
 
 if __name__ == "__main__":
