@@ -109,6 +109,18 @@ def bench_inference(batch: int, cfg=None):
         "batch": batch,
         "latency_ms_batch1": round(t_land1 * 1e3, 2),
         "swap_images_per_sec_per_chip": round(batch / t_swap, 1),
+        # methodology (VERDICT r4 #5): what was measured and how
+        "image_size": cfg.image_size,
+        "n_landmarks": cfg.n_landmarks,
+        "compute_dtype": cfg.compute_dtype,
+        "programs": "eval/export.py landmark_fn + eval/swap.py swap_fn "
+                    "(the exact forwards the StableHLO export serializes)",
+        "timing": "median of 5 reps after 2 warmups; in-program scalar "
+                  "reduction as the completion barrier",
+        "device": jax.devices()[0].platform,
+        "batch1_caveat": "through the axon relay the ~27 ms tunnel dispatch "
+                         "dominates batch-1 latency; direct-attached would "
+                         "be lower",
     }
 
 
