@@ -31,8 +31,45 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import statistics
+import sys
 import time
+
+
+def _hold_chip_lock_bounded(path: str, timeout_s: float) -> None:
+    """Acquire the sweep runners' advisory chip lock, waiting up to
+    ``timeout_s`` — then proceed anyway (a possibly-slow number beats no
+    number). The fd is kept open for the process lifetime, so the lock is
+    held until exit."""
+    import fcntl
+
+    f = open(path, "w")  # noqa: SIM115 — held for process lifetime
+    deadline = time.monotonic() + timeout_s
+    announced = False
+    while True:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            globals()["_chip_lock_fd"] = f  # keep a live reference
+            return
+        except OSError:
+            if time.monotonic() >= deadline:
+                print(
+                    f"[bench] chip lock {path} still held after "
+                    f"{timeout_s:.0f}s — benchmarking anyway (numbers may "
+                    "be depressed by a concurrent runner)",
+                    file=sys.stderr,
+                )
+                f.close()
+                return
+            if not announced:
+                print(
+                    f"[bench] chip lock {path} held by a sweep runner; "
+                    "waiting for it to release between runs",
+                    file=sys.stderr,
+                )
+                announced = True
+            time.sleep(15.0)
 
 BASELINE_TF1_GPU_IMG_PER_SEC = 100.0  # documented estimate, see module docstring
 # bf16 peak measured ON THIS CHIP via a 4096^3 matmul chain (PERFORMANCE.md
@@ -255,6 +292,15 @@ def main(argv=None):
     from imm_tpu.cli._common import enable_compile_cache
 
     enable_compile_cache()
+    # Serialize with any sweep runner on the one chip (same advisory lock as
+    # scripts/sweep_tps.py): a driver bench that overlaps a training run
+    # would time-slice the device and record corrupted throughput. Bounded
+    # wait — a sweep variant releases the lock between runs (<= ~65 min for
+    # a 60k final); past the bound we proceed rather than report nothing.
+    _hold_chip_lock_bounded(
+        os.environ.get("IMM_TPU_CHIP_LOCK", "/tmp/imm_tpu_chip.lock"),
+        float(os.environ.get("IMM_TPU_BENCH_LOCK_TIMEOUT_S", "4500")),
+    )
     # fail fast (exit 86) instead of blocking ~25 min if the axon relay is
     # wedged at first device touch — the driver/retry loop can re-run
     from imm_tpu.utils.device_init import devices_or_timeout
