@@ -122,6 +122,13 @@ PRESETS: dict[str, ExperimentConfig] = {
     # 0.5/1/2/4). Converged result: 3.42 %IOD at 60k for K=10
     # (final_ind_2x_k10_noisefeat_equi2_ema_60k; equi1 read 3.48, round-2
     # recipe 5.90 — docs/artifacts/final_runs.md).
+    # Round 5 adds ent_weight=0.03 — a STRUCTURE lever, not a metric lever:
+    # within-sigma on %IOD at matched seed (3.35 vs 3.42, 2-seed family mean
+    # 3.57±0.31) but it eliminates the collapsed pair (min pairwise landmark
+    # distance 6.0 px vs 1.1) and idle channels (readout rank 20/20), i.e.
+    # strictly healthier landmarks for downstream use at no accuracy cost
+    # (final_runs.md round 5; diagnose_..._ent003_ema_60k.md;
+    # panel_k10_ent003.png).
     # Requires weights/trained_features_noise.npz (scripts/train_features.py
     # --corruption noise); errors with a pointer if absent.
     "synthetic_best": ExperimentConfig(
@@ -134,6 +141,7 @@ PRESETS: dict[str, ExperimentConfig] = {
             lr_boundaries=(35_000, 50_000),
             lr_factors=(1.0, 0.3, 0.1),
             equi_weight=2.0,
+            ent_weight=0.03,
         ),
         pair=dataclasses.replace(
             _FACE_PAIR,
@@ -187,8 +195,12 @@ PRESETS["synthetic_best_k30"] = dataclasses.replace(
     model=dataclasses.replace(
         PRESETS["synthetic_best"].model, n_landmarks=30
     ),
+    # equi dose 1.0 is the K=30 winner, and the K=10 entropy penalty must
+    # NOT carry over: at K=30 the 0.03 dose probed strongly negative
+    # (2.97 @15k vs 2.27 base — docs/artifacts/sweep_tps.md round-5 K=30
+    # ent section; the dose-response inverts with K).
     train=dataclasses.replace(
-        PRESETS["synthetic_best"].train, equi_weight=1.0
+        PRESETS["synthetic_best"].train, equi_weight=1.0, ent_weight=0.0
     ),
     pair=dataclasses.replace(
         _FACE_PAIR,

@@ -62,6 +62,12 @@ def test_driver_configs_covered():
     assert PRESETS["synthetic_best_k30"].model.n_landmarks == 30
     assert PRESETS["synthetic_best_k30"].train.equi_weight == 1.0
     assert PRESETS["synthetic_best_k30"].loss.feature_source == "trained"
+    # round-5 structure lever: K=10 ships ent_weight=0.03 (within-sigma
+    # %IOD, fixes collapse/idle channels), but it must NOT leak into the
+    # K=30 derivative where the same dose probed strongly negative
+    # (docs/artifacts/sweep_tps.md round-5 K=30 ent section).
+    assert PRESETS["synthetic_best"].train.ent_weight == 0.03
+    assert PRESETS["synthetic_best_k30"].train.ent_weight == 0.0
     assert PRESETS["aflw_k30"].model.n_landmarks == 30
     assert PRESETS["cats_k20"].model.n_landmarks == 20
     assert PRESETS["human36m"].data.pair_mode == "temporal"
